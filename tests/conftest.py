@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests must run without TPU hardware; multi-chip sharding tests use the
+virtual device mesh. These env vars must be set before jax initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Golden-parity tests compare against OpenCV's float64 math; the production
+# TPU path is float32/bfloat16 (all tpu_vo code is dtype-polymorphic).
+os.environ["JAX_ENABLE_X64"] = "1"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# jax may already be imported (and pointed at an accelerator) by site
+# customization before this conftest runs, so override via config too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,136 @@
+"""Frozen configuration dataclasses with the reference pipeline's exact constants.
+
+Every default below is pinned to the reference implementation:
+  - ORB params:      /root/reference/src/visual_odometry.cpp:65-73
+  - match filter:    /root/reference/src/visual_odometry.cpp:147,166
+  - RANSAC + gates:  /root/reference/src/visual_odometry.cpp:213-216,270-271,344,189
+  - trajectory scale:/root/reference/src/visual_odometry.cpp:352
+  - intrinsics rule: /root/reference/src/visual_odometry.cpp:90-98 (fx=fy=W, cx=W/2, cy=H/2)
+  - viewer layout:   /root/reference/src/trajectory_viewer.cpp:66-88,194-202
+All configs are hashable frozen dataclasses so they can be closed over by
+jit-compiled functions as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    """ORB detector/descriptor configuration (cv::ORB::create arg-for-arg)."""
+
+    n_features: int = 1200          # kOrbMaxFeatures
+    scale_factor: float = 1.2       # kOrbPyramidScale
+    n_levels: int = 8               # kOrbPyramidLevels
+    edge_threshold: int = 31        # kOrbBorderMarginPx
+    first_level: int = 0            # kOrbFirstLevel
+    wta_k: int = 2                  # kOrbWtaK (2 -> 256 binary comparisons)
+    score_harris: bool = True       # kOrbScoreType == HARRIS_SCORE
+    patch_size: int = 31            # kOrbPatchSizePx
+    fast_threshold: int = 10        # kOrbFastThreshold
+    # TPU-specific: fixed keypoint capacity per pyramid level before the
+    # global top-N cut. Data-dependent keypoint counts do not jit; we keep
+    # fixed-size slots with validity masks instead.
+    per_level_capacity: int = 4096
+
+    @property
+    def harris_block_size(self) -> int:
+        # OpenCV ORB ranks FAST corners by a Harris response computed over a
+        # fixed 7x7 block regardless of patch size.
+        return 7
+
+    @property
+    def harris_k(self) -> float:
+        return 0.04
+
+    @property
+    def half_patch(self) -> int:
+        # Intensity-centroid orientation radius (OpenCV: patchSize/2 = 15).
+        return self.patch_size // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching configuration.
+
+    The reference uses BFMatcher(NORM_HAMMING, crossCheck=true) followed by an
+    adaptive absolute threshold min(max(3*min_dist, 0.7*median_dist), 35.0)
+    (visual_odometry.cpp:87,153,166). A Lowe ratio test is also provided
+    (used by the high-density benchmark config) but defaults off for parity.
+    """
+
+    cross_check: bool = True
+    max_hamming: float = 35.0       # kMaxHammingThreshold
+    min_scale: float = 3.0          # 3.0 * min_dist
+    median_scale: float = 0.7       # 0.7 * median_dist
+    use_ratio_test: bool = False
+    ratio: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Essential-matrix RANSAC and pose-recovery gates."""
+
+    confidence: float = 0.999       # cv::findEssentialMat prob
+    threshold_px: float = 2.0       # cv::findEssentialMat threshold (pixels)
+    # TPU-side RANSAC runs a fixed hypothesis budget; adaptive-iteration
+    # stopping is applied as a mask, not a dynamic loop bound.
+    max_iters: int = 256
+    sample_size: int = 5            # Nister 5-point minimal sample
+    use_five_point: bool = True     # False -> normalized 8-point samples of 8
+    min_matches_attempt: int = 8    # visual_odometry.cpp:189
+    min_matches_for_pose: int = 10  # kMinMatchesForPose, visual_odometry.cpp:344
+    min_inliers: int = 12           # kMinInliers, visual_odometry.cpp:271
+    min_valid_points: int = 10      # kMinValidPoints, visual_odometry.cpp:270
+    distance_thresh: float = 50.0   # cv::recoverPose cheirality depth cutoff
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Top-level pipeline configuration."""
+
+    image_width: int = 1241
+    image_height: int = 376
+    orb: ORBConfig = ORBConfig()
+    match: MatchConfig = MatchConfig()
+    ransac: RansacConfig = RansacConfig()
+    trajectory_scale: float = 0.3   # kScaleGood, visual_odometry.cpp:352
+
+    @property
+    def intrinsics(self) -> Tuple[float, float, float, float]:
+        """(fx, fy, cx, cy) derived from image size like the reference.
+
+        fx = fy = image_width (square pixels assumed), principal point at the
+        image center (visual_odometry.cpp:90-93).
+        """
+        w = float(self.image_width)
+        h = float(self.image_height)
+        return (w, w, w / 2.0, h / 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViewerConfig:
+    """Offline trajectory renderer configuration (trajectory_viewer.cpp)."""
+
+    width: int = 1024
+    height: int = 768
+    # ProjectionMatrix(1024,768,500,500,512,389,0.1,1000)
+    focal: float = 500.0
+    cx: float = 512.0
+    cy: float = 389.0
+    z_near: float = 0.1
+    z_far: float = 1000.0
+    grid_size: float = 10.0
+    grid_step: float = 1.0
+    axis_len: float = 0.5
+    cam_axis_len: float = 0.3
+    cam_frustum_scale: float = 0.25
+    history_axis_len: float = 0.1
+    history_frustum_scale: float = 0.08
+    history_every_n: int = 10
+    # save_trajectory_screenshots framing: dist = max(2.5*extent, 1.0)
+    framing_factor: float = 2.5
+    framing_min_dist: float = 1.0
+    jpeg_quality: int = 95

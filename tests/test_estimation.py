@@ -1,0 +1,266 @@
+"""Estimation stack tests: 8-point, Nister 5-point, RANSAC, recover_pose.
+
+Golden checks against cv2.findEssentialMat / cv2.recoverPose with the
+reference's exact parameters (RANSAC, prob=0.999, threshold=2.0 px —
+visual_odometry.cpp:213-216, gates at :270-277). RANSAC parity is defined
+on pose/inlier-set tolerance, not RNG equality (SURVEY.md §7).
+"""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpu_vo.geometry import camera, epipolar, se3
+from tpu_vo.estimation.eight_point import estimate_essential_8pt
+from tpu_vo.estimation.five_point import five_point_candidates
+from tpu_vo.estimation.ransac import (
+    find_essential_ransac,
+    pixel_threshold_to_normalized,
+)
+from tpu_vo.estimation.recover_pose import (
+    decompose_essential,
+    recover_pose_from_essential,
+)
+
+
+def make_scene(rng, n=200, w=640, h=480, angle=0.12, noise_px=0.0,
+               outlier_frac=0.0):
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], dtype=np.float64)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    R = np.asarray(
+        se3.rotation_from_axis_angle(jnp.asarray(axis), angle), dtype=np.float64
+    )
+    t = rng.normal(size=3)
+    t /= np.linalg.norm(t)
+    X = rng.uniform([-3, -2, 4], [3, 2, 14], size=(n, 3))
+    x1 = (K @ (X / X[:, 2:3]).T).T[:, :2]
+    X2 = (R @ X.T).T + t
+    x2 = (K @ (X2 / X2[:, 2:3]).T).T[:, :2]
+    if noise_px > 0:
+        x1 += rng.normal(scale=noise_px, size=x1.shape)
+        x2 += rng.normal(scale=noise_px, size=x2.shape)
+    n_out = int(n * outlier_frac)
+    gt_inlier = np.ones(n, dtype=bool)
+    if n_out:
+        idx = rng.choice(n, size=n_out, replace=False)
+        x2[idx] = rng.uniform([0, 0], [w, h], size=(n_out, 2))
+        gt_inlier[idx] = False
+    return K, R, t, x1, x2, gt_inlier
+
+
+def e_dist(Ea, Eb):
+    """Min Frobenius-ish distance up to scale sign."""
+    Ea = Ea / np.linalg.norm(Ea)
+    Eb = Eb / np.linalg.norm(Eb)
+    return min(np.abs(Ea - Eb).max(), np.abs(Ea + Eb).max())
+
+
+def test_eight_point_exact(rng):
+    K, R, t, x1, x2, _ = make_scene(rng, n=50)
+    x1n = np.asarray(camera.normalize_points(jnp.asarray(x1), jnp.asarray(K)))
+    x2n = np.asarray(camera.normalize_points(jnp.asarray(x2), jnp.asarray(K)))
+    mask = jnp.ones(50, dtype=bool)
+    E = np.asarray(
+        estimate_essential_8pt(jnp.asarray(x1n), jnp.asarray(x2n), mask)
+    )
+    E_true = np.asarray(
+        epipolar.essential_from_Rt(jnp.asarray(R), jnp.asarray(t))
+    )
+    assert e_dist(E, E_true) < 1e-9
+
+
+def test_eight_point_masked_padding(rng):
+    """Padded invalid slots must not affect the estimate."""
+    K, R, t, x1, x2, _ = make_scene(rng, n=40)
+    x1n = np.asarray(camera.normalize_points(jnp.asarray(x1), jnp.asarray(K)))
+    x2n = np.asarray(camera.normalize_points(jnp.asarray(x2), jnp.asarray(K)))
+    pad = np.zeros((24, 2))
+    x1p = np.concatenate([x1n, pad + 1e6])  # poison the padding
+    x2p = np.concatenate([x2n, pad - 1e6])
+    mask = jnp.asarray(np.concatenate([np.ones(40), np.zeros(24)]) > 0)
+    E_pad = np.asarray(
+        estimate_essential_8pt(jnp.asarray(x1p), jnp.asarray(x2p), mask)
+    )
+    E_ref = np.asarray(
+        estimate_essential_8pt(
+            jnp.asarray(x1n), jnp.asarray(x2n), jnp.ones(40, dtype=bool)
+        )
+    )
+    assert e_dist(E_pad, E_ref) < 1e-9
+
+
+def test_five_point_recovers_truth(rng):
+    hits = 0
+    for _ in range(10):
+        K, R, t, x1, x2, _ = make_scene(rng, n=5)
+        x1n = np.asarray(camera.normalize_points(jnp.asarray(x1), jnp.asarray(K)))
+        x2n = np.asarray(camera.normalize_points(jnp.asarray(x2), jnp.asarray(K)))
+        Es, valid = five_point_candidates(jnp.asarray(x1n), jnp.asarray(x2n))
+        Es, valid = np.asarray(Es), np.asarray(valid)
+        E_true = np.asarray(
+            epipolar.essential_from_Rt(jnp.asarray(R), jnp.asarray(t))
+        )
+        best = min(
+            (e_dist(E, E_true) for E, v in zip(Es, valid) if v),
+            default=np.inf,
+        )
+        hits += best < 1e-8
+    assert hits == 10
+
+
+def test_five_point_candidates_satisfy_constraints(rng):
+    """Every valid candidate is a genuine essential matrix fitting the 5 pts."""
+    K, R, t, x1, x2, _ = make_scene(rng, n=5)
+    x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), jnp.asarray(K)))
+    x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), jnp.asarray(K)))
+    Es, valid = five_point_candidates(x1n, x2n)
+    Es, valid = np.asarray(Es), np.asarray(valid)
+    assert valid.sum() >= 1
+    for E, v in zip(Es, valid):
+        if not v:
+            continue
+        assert abs(np.linalg.det(E)) < 1e-8
+        # 2 E E^T E - tr(E E^T) E = 0 (Nister cubic constraints)
+        EEt = E @ E.T
+        c = 2 * EEt @ E - np.trace(EEt) * E
+        assert np.abs(c).max() < 1e-7
+        # epipolar constraint on the sample
+        h1 = np.concatenate([np.asarray(x1n), np.ones((5, 1))], axis=1)
+        h2 = np.concatenate([np.asarray(x2n), np.ones((5, 1))], axis=1)
+        assert np.abs(np.einsum("ni,ij,nj->n", h2, E, h1)).max() < 1e-7
+
+
+def test_five_point_matches_cv2_candidate_set(rng):
+    """cv2's 5-point solutions appear in our candidate set (up to scale)."""
+    K, R, t, x1, x2, _ = make_scene(rng, n=5)
+    E_cv = cv2.findEssentialMat(
+        x1.astype(np.float64), x2.astype(np.float64), K, cv2.RANSAC, 0.999, 2.0
+    )[0]
+    if E_cv is None:
+        return
+    x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), jnp.asarray(K)))
+    x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), jnp.asarray(K)))
+    Es, valid = map(np.asarray, five_point_candidates(x1n, x2n))
+    for i in range(0, E_cv.shape[0], 3):
+        E_i = E_cv[i:i + 3]
+        best = min(
+            (e_dist(E, E_i) for E, v in zip(Es, valid) if v), default=np.inf
+        )
+        assert best < 1e-6, f"cv2 solution {i//3} missing from candidates"
+
+
+def test_decompose_essential_matches_cv2(rng):
+    K, R, t, x1, x2, _ = make_scene(rng)
+    E = np.asarray(epipolar.essential_from_Rt(jnp.asarray(R), jnp.asarray(t)))
+    R1, R2, tt = map(np.asarray, decompose_essential(jnp.asarray(E)))
+    R1_cv, R2_cv, t_cv = cv2.decomposeEssentialMat(E)
+    t_cv = t_cv.ravel()
+    assert min(np.abs(R1 - R1_cv).max(), np.abs(R1 - R2_cv).max()) < 1e-8
+    assert min(np.abs(R2 - R1_cv).max(), np.abs(R2 - R2_cv).max()) < 1e-8
+    assert min(np.abs(tt - t_cv).max(), np.abs(tt + t_cv).max()) < 1e-8
+
+
+def test_recover_pose_matches_cv2(rng):
+    for _ in range(5):
+        K, R, t, x1, x2, _ = make_scene(rng, n=120, noise_px=0.3)
+        E = np.asarray(
+            epipolar.essential_from_Rt(jnp.asarray(R), jnp.asarray(t))
+        )
+        n_cv, R_cv, t_cv, mask_cv = cv2.recoverPose(
+            E, x1.astype(np.float64), x2.astype(np.float64), K
+        )
+        x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), jnp.asarray(K)))
+        x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), jnp.asarray(K)))
+        out = recover_pose_from_essential(
+            jnp.asarray(E), x1n, x2n, jnp.ones(len(x1), dtype=bool)
+        )
+        assert np.abs(np.asarray(out.R) - R_cv).max() < 1e-6
+        assert np.abs(np.asarray(out.t) - t_cv.ravel()).max() < 1e-6
+        # Same ground-truth motion recovered
+        assert np.abs(np.asarray(out.R) - R).max() < 1e-6
+        # Cheirality counts agree to within a small tolerance
+        assert abs(int(out.num_valid) - int(n_cv)) <= 3
+
+
+def test_ransac_with_outliers_matches_cv2_pose(rng):
+    for trial in range(3):
+        K, R, t, x1, x2, gt_in = make_scene(
+            rng, n=300, noise_px=0.4, outlier_frac=0.3
+        )
+        Kj = jnp.asarray(K)
+        x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), Kj))
+        x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), Kj))
+        thr = pixel_threshold_to_normalized(2.0, Kj)
+        res = find_essential_ransac(
+            x1n, x2n, jnp.ones(len(x1), dtype=bool),
+            jax.random.PRNGKey(trial), thr, max_iters=128,
+        )
+        assert bool(res.success)
+        out = recover_pose_from_essential(res.E, x1n, x2n, res.inliers)
+
+        # cv2 on the same data sets the accuracy bar (0.4 px noise means
+        # neither recovers the exact motion); we must be at least as good
+        # up to a small slack, and within the noise floor in absolute terms.
+        E_cv, m_cv = cv2.findEssentialMat(x1, x2, K, cv2.RANSAC, 0.999, 2.0)
+        _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, x1, x2, K, mask=m_cv.copy())
+
+        Rr = np.asarray(out.R)
+        tr = np.asarray(out.t)
+        ang = np.degrees(
+            float(se3.geodesic_rotation_distance(jnp.asarray(Rr), jnp.asarray(R)))
+        )
+        ang_cv = np.degrees(
+            float(se3.geodesic_rotation_distance(jnp.asarray(R_cv), jnp.asarray(R)))
+        )
+        t_ang = np.degrees(np.arccos(np.clip(abs(np.dot(tr, t)), -1, 1)))
+        t_ang_cv = np.degrees(
+            np.arccos(np.clip(abs(np.dot(t_cv.ravel(), t)), -1, 1))
+        )
+        assert ang < 1.0, f"rotation error {ang} deg"
+        assert ang < ang_cv + 0.5, f"worse than cv2: {ang} vs {ang_cv} deg"
+        assert t_ang < 3.0, f"translation direction error {t_ang} deg"
+        assert t_ang < t_ang_cv + 2.0, f"worse than cv2: {t_ang} vs {t_ang_cv}"
+
+        # Inlier set: recovers essentially the ground-truth inliers
+        inl = np.asarray(res.inliers)
+        recall = (inl & gt_in).sum() / gt_in.sum()
+        precision = (inl & gt_in).sum() / max(inl.sum(), 1)
+        assert recall > 0.95 and precision > 0.95
+        # Inlier count within a few of cv2's
+        assert abs(int(inl.sum()) - int(m_cv.sum())) <= 10
+
+
+def test_ransac_respects_validity_mask(rng):
+    """Poisoned padding slots must never be sampled or counted."""
+    K, R, t, x1, x2, _ = make_scene(rng, n=100, noise_px=0.2)
+    Kj = jnp.asarray(K)
+    x1n = np.asarray(camera.normalize_points(jnp.asarray(x1), Kj))
+    x2n = np.asarray(camera.normalize_points(jnp.asarray(x2), Kj))
+    pad = np.full((28, 2), 1e3)
+    x1p = jnp.asarray(np.concatenate([x1n, pad]))
+    x2p = jnp.asarray(np.concatenate([x2n, -pad]))
+    mask = jnp.asarray(np.concatenate([np.ones(100), np.zeros(28)]) > 0)
+    thr = pixel_threshold_to_normalized(2.0, Kj)
+    res = find_essential_ransac(
+        x1p, x2p, mask, jax.random.PRNGKey(0), thr, max_iters=64
+    )
+    assert bool(res.success)
+    inl = np.asarray(res.inliers)
+    assert not inl[100:].any()
+    assert inl[:100].sum() > 90
+
+
+def test_ransac_jits_and_is_deterministic(rng):
+    K, R, t, x1, x2, _ = make_scene(rng, n=64)
+    Kj = jnp.asarray(K)
+    x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), Kj))
+    x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), Kj))
+    thr = pixel_threshold_to_normalized(2.0, Kj)
+    a = find_essential_ransac(x1n, x2n, jnp.ones(64, dtype=bool),
+                              jax.random.PRNGKey(7), thr, max_iters=32)
+    b = find_essential_ransac(x1n, x2n, jnp.ones(64, dtype=bool),
+                              jax.random.PRNGKey(7), thr, max_iters=32)
+    np.testing.assert_array_equal(np.asarray(a.E), np.asarray(b.E))
+    np.testing.assert_array_equal(np.asarray(a.inliers), np.asarray(b.inliers))

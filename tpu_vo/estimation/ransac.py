@@ -1,0 +1,145 @@
+"""Fixed-budget, fully-vmapped essential-matrix RANSAC.
+
+TPU-native re-design of the RANSAC loop inside cv::findEssentialMat
+(invoked at visual_odometry.cpp:213-216 with prob=0.999, threshold=2.0 px):
+
+  - Instead of a data-dependent sequential loop with adaptive early exit,
+    a *fixed* budget of minimal samples is drawn up front and every
+    hypothesis is solved and scored in parallel (vmap -> one big batched
+    computation). Evaluating the full budget dominates OpenCV's adaptive
+    count for any inlier ratio, so accuracy parity is one-sided in our
+    favor; there is no RNG-level equivalence to preserve (SURVEY.md §7).
+  - Correspondences are fixed-capacity padded arrays with validity masks;
+    counts are masked reductions, never shapes.
+  - Scoring is the same Sampson error OpenCV's EMEstimatorCallback uses,
+    with the pixel threshold mapped to normalized coordinates via
+    thr_norm = thr_px / (0.5 * (fx + fy)), as findEssentialMat does.
+
+The minimal solver is pluggable: Nister 5-point (default, matching OpenCV)
+or 8-point. An optional linear refit on the winning inlier set polishes E
+(strictly improves accuracy; off when bit-level behavior parity with
+OpenCV's no-polish RANSAC is preferred).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_vo.estimation.eight_point import estimate_essential_8pt
+from tpu_vo.estimation.five_point import five_point_candidates
+from tpu_vo.geometry.epipolar import sampson_error
+
+
+class EssentialRansacResult(NamedTuple):
+    E: jax.Array            # (3, 3) best essential matrix
+    inliers: jax.Array      # (N,) bool inlier mask (includes validity)
+    num_inliers: jax.Array  # () int32
+    success: jax.Array      # () bool — a usable model was found
+    num_hypotheses: jax.Array  # () int32 — valid candidate models scored
+
+
+def _draw_samples(key: jax.Array, mask: jax.Array, n_iters: int,
+                  sample_size: int) -> jax.Array:
+    """(n_iters, sample_size) indices drawn uniformly from valid entries.
+
+    Sampling is with replacement across slots; a (rare) duplicate inside a
+    sample produces a degenerate hypothesis that simply scores poorly —
+    the fixed budget absorbs it.
+    """
+    n = mask.shape[0]
+    valid_idx = jnp.nonzero(mask, size=n, fill_value=0)[0]
+    n_valid = jnp.maximum(jnp.sum(mask).astype(jnp.int32), 1)
+    r = jax.random.randint(key, (n_iters, sample_size), 0, n_valid)
+    return valid_idx[r]
+
+
+def _score(E: jax.Array, x1: jax.Array, x2: jax.Array, mask: jax.Array,
+           thr_sq) -> jax.Array:
+    """Masked inlier mask of one hypothesis; NaN-safe."""
+    err = sampson_error(E, x1, x2)
+    err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+    return (err < thr_sq) & mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "use_five_point", "refit"),
+)
+def find_essential_ransac(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    threshold: jax.Array | float,
+    max_iters: int = 256,
+    use_five_point: bool = True,
+    refit: bool = True,
+) -> EssentialRansacResult:
+    """RANSAC essential matrix from masked normalized correspondences.
+
+    Args:
+      x1, x2: (N, 2) normalized camera coordinates (prev, curr).
+      mask:   (N,) bool validity of each slot.
+      key:    PRNG key for sampling.
+      threshold: inlier threshold in normalized coordinates
+        (pixel_threshold / (0.5*(fx+fy)) to match cv::findEssentialMat).
+      max_iters: fixed number of minimal samples (all evaluated).
+      use_five_point: Nister 5-point (up to 10 models/sample) vs 8-point.
+      refit: polish by refitting E linearly on the winning inlier set.
+    """
+    dtype = x1.dtype
+    thr_sq = jnp.asarray(threshold, dtype) ** 2
+    sample_size = 5 if use_five_point else 8
+
+    idx = _draw_samples(key, mask, max_iters, sample_size)
+    s1 = x1[idx]  # (iters, S, 2)
+    s2 = x2[idx]
+
+    if use_five_point:
+        Es, valid_models = jax.vmap(five_point_candidates)(s1, s2)
+        Es = Es.reshape(-1, 3, 3)                # (iters*10, 3, 3)
+        valid_models = valid_models.reshape(-1)  # (iters*10,)
+    else:
+        full = jnp.ones(s1.shape[:-1], dtype=bool)
+        Es = jax.vmap(estimate_essential_8pt)(s1, s2, full)
+        valid_models = jnp.ones(Es.shape[0], dtype=bool)
+
+    inlier_masks = jax.vmap(_score, in_axes=(0, None, None, None, None))(
+        Es, x1, x2, mask, thr_sq
+    )
+    counts = jnp.where(valid_models, jnp.sum(inlier_masks, axis=-1), -1)
+
+    best = jnp.argmax(counts)
+    E_best = Es[best]
+    inl_best = inlier_masks[best]
+    n_best = jnp.maximum(counts[best], 0).astype(jnp.int32)
+    success = counts[best] >= sample_size
+
+    if refit:
+        # Linear refit on inliers, then re-score once (a cheap LO-RANSAC
+        # step). Guarded: only replaces the minimal model if it keeps or
+        # grows the consensus.
+        E_ref = estimate_essential_8pt(x1, x2, inl_best)
+        inl_ref = _score(E_ref, x1, x2, mask, thr_sq)
+        n_ref = jnp.sum(inl_ref).astype(jnp.int32)
+        better = (n_ref >= n_best) & success
+        E_best = jnp.where(better, E_ref, E_best)
+        inl_best = jnp.where(better, inl_ref, inl_best)
+        n_best = jnp.where(better, n_ref, n_best)
+
+    return EssentialRansacResult(
+        E=E_best,
+        inliers=inl_best & success,
+        num_inliers=jnp.where(success, n_best, 0),
+        success=success,
+        num_hypotheses=jnp.sum(valid_models).astype(jnp.int32),
+    )
+
+
+def pixel_threshold_to_normalized(threshold_px: float, K: jax.Array):
+    """cv::findEssentialMat's threshold mapping: thr / (0.5*(fx+fy))."""
+    return threshold_px / (0.5 * (K[..., 0, 0] + K[..., 1, 1]))

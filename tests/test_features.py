@@ -1,0 +1,169 @@
+"""Feature stack golden tests vs cv2: FAST, Harris, orientation, rBRIEF, ORB.
+
+These pin the reference's detection configuration
+(visual_odometry.cpp:65-85) against cv2's implementations of the same
+stages. FAST is bit-exact; orientation/descriptors are exact modulo
+OpenCV's internal +-1 blur rounding.
+"""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_vo.configs import ORBConfig
+from tpu_vo.features import brief, fast, orientation
+from tpu_vo.features.orb import detect_and_compute, features_per_level
+
+
+def textured_image(rng, h=240, w=320, sigma=3.0):
+    img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (0, 0), sigma)
+    return cv2.normalize(img, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+
+
+def test_fast_bit_exact_vs_cv2(rng):
+    img = textured_image(rng, 120, 160, sigma=1.2)
+    det = cv2.FastFeatureDetector_create(
+        threshold=10, nonmaxSuppression=True,
+        type=cv2.FAST_FEATURE_DETECTOR_TYPE_9_16,
+    )
+    kps = det.detect(img)
+    cv_map = {(int(k.pt[0]), int(k.pt[1])): k.response for k in kps}
+
+    score, keep = fast.detect(jnp.asarray(img, dtype=jnp.float32), 10)
+    keep = np.asarray(keep)
+    score = np.asarray(score)
+    ours = {(x, y): score[y, x] for y, x in zip(*np.nonzero(keep))}
+
+    assert set(cv_map) == set(ours)
+    for p in cv_map:
+        assert cv_map[p] == ours[p], f"response mismatch at {p}"
+
+
+def test_fast_threshold_sweep(rng):
+    """Exactness must hold across thresholds (exercise arc margins)."""
+    img = textured_image(rng, 80, 100, sigma=1.0)
+    for thr in (5, 10, 20, 40):
+        det = cv2.FastFeatureDetector_create(
+            threshold=thr, nonmaxSuppression=True,
+            type=cv2.FAST_FEATURE_DETECTOR_TYPE_9_16,
+        )
+        cv_set = {(int(k.pt[0]), int(k.pt[1])) for k in det.detect(img)}
+        _, keep = fast.detect(jnp.asarray(img, dtype=jnp.float32), thr)
+        ours = {(x, y) for y, x in zip(*np.nonzero(np.asarray(keep)))}
+        assert cv_set == ours, f"threshold {thr}"
+
+
+def test_umax_table_matches_opencv():
+    umax = orientation.build_umax(15)
+    np.testing.assert_array_equal(
+        umax, [15, 15, 15, 15, 14, 14, 14, 13, 13, 12, 11, 10, 9, 8, 6, 3]
+    )
+
+
+def test_fast_atan2_matches_cv2(rng):
+    ys = rng.normal(size=200).astype(np.float32) * 100
+    xs = rng.normal(size=200).astype(np.float32) * 100
+    ours = np.asarray(orientation.fast_atan2_deg(jnp.asarray(ys), jnp.asarray(xs)))
+    ref = np.array([cv2.fastAtan2(float(y), float(x)) for y, x in zip(ys, xs)])
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_ic_angles_gather_matches_dense(rng):
+    img = jnp.asarray(textured_image(rng, 100, 120), dtype=jnp.float32)
+    ys = jnp.asarray(rng.integers(20, 80, size=30))
+    xs = jnp.asarray(rng.integers(20, 100, size=30))
+    a = np.asarray(orientation.ic_angles(img, ys, xs))
+    b = np.asarray(orientation.ic_angles_gather(img, ys, xs))
+    np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_descriptor_bits_match_cv2_given_keypoint(rng):
+    """Fixed keypoint + angle: our descriptor equals cv2's up to blur ties."""
+    img = rng.integers(0, 256, size=(128, 128), dtype=np.uint8)
+    orb_cv = cv2.ORB_create(500, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE, 31, 10)
+    from tpu_vo.image.filters import gaussian_blur
+
+    blurred = gaussian_blur(jnp.asarray(img, dtype=jnp.float32))
+    for angle in (0.0, 37.5, 90.0, 211.25, 359.0):
+        kp = [cv2.KeyPoint(64.0, 64.0, 31.0, angle, 100.0, 0, -1)]
+        _, desc_cv = orb_cv.compute(img, kp)
+        bits_cv = np.unpackbits(desc_cv[0], bitorder="little")
+        bits = np.asarray(
+            brief.descriptor_bits(
+                blurred, jnp.asarray([64]), jnp.asarray([64]),
+                jnp.asarray([angle], dtype=jnp.float32),
+            )
+        )[0]
+        n_diff = int((bits != bits_cv.astype(bool)).sum())
+        assert n_diff <= 6, f"angle {angle}: {n_diff} bits differ"
+
+
+def test_pack_unpack_roundtrip(rng):
+    bits = jnp.asarray(rng.integers(0, 2, size=(5, 256)) > 0)
+    u8 = brief.pack_bits_u8(bits)
+    np.testing.assert_array_equal(np.asarray(brief.unpack_u8(u8)),
+                                  np.asarray(bits))
+    u32 = np.asarray(brief.pack_bits_u32(bits))
+    # popcount consistency
+    pc32 = np.array([bin(int(v)).count("1") for v in u32.ravel()]).sum()
+    assert pc32 == int(np.asarray(bits).sum())
+
+
+def test_features_per_level_matches_opencv_allocation():
+    n = features_per_level(1200, 8, 1.2)
+    assert sum(n) == 1200
+    assert n[0] > n[1] > n[7]
+    # OpenCV formula reproduction
+    factor = 1 / 1.2
+    nd = 1200 * (1 - factor) / (1 - factor ** 8)
+    expect0 = int(np.round(nd))
+    assert n[0] == expect0
+
+
+def test_orb_end_to_end_parity(rng):
+    """Full detect_and_compute vs cv2.ORB on the same image."""
+    img = textured_image(rng, 240, 320)
+    orb_cv = cv2.ORB_create(1200, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE, 31, 10)
+    kps_cv, desc_cv = orb_cv.detectAndCompute(img, None)
+
+    f = detect_and_compute(jnp.asarray(img), ORBConfig())
+    valid = np.asarray(f.valid)
+    xy = np.asarray(f.xy)
+    oct_ = np.asarray(f.octave)
+    desc = np.asarray(f.desc)
+
+    # Similar keypoint counts
+    assert abs(int(valid.sum()) - len(kps_cv)) < 0.05 * len(kps_cv)
+
+    # Match by (octave, <1px) and require high overlap + tiny bit distance
+    from collections import defaultdict
+    cv_by_oct = defaultdict(list)
+    for i, k in enumerate(kps_cv):
+        cv_by_oct[k.octave].append((k.pt[0], k.pt[1], i))
+    matched = 0
+    bitdiffs = []
+    for j in np.nonzero(valid)[0]:
+        best, bd = None, 1.0
+        for (x, y, i) in cv_by_oct[int(oct_[j])]:
+            d = max(abs(x - xy[j, 0]), abs(y - xy[j, 1]))
+            if d < bd:
+                bd, best = d, i
+        if best is not None:
+            matched += 1
+            bits_cv = np.unpackbits(desc_cv[best], bitorder="little")
+            bits_us = np.unpackbits(desc[j], bitorder="little")
+            bitdiffs.append(int((bits_cv != bits_us).sum()))
+    assert matched / valid.sum() > 0.95, f"only {matched}/{valid.sum()} matched"
+    assert np.median(bitdiffs) <= 1
+    assert np.mean(bitdiffs) < 3
+
+
+def test_orb_fixed_shapes_and_masking(rng):
+    """Blank image: all slots invalid, all shapes still fixed."""
+    img = jnp.zeros((96, 128), dtype=jnp.float32)
+    f = detect_and_compute(img, ORBConfig())
+    assert f.xy.shape == (1200, 2)
+    assert f.desc.shape == (1200, 32)
+    assert not bool(np.asarray(f.valid).any())
+    assert np.all(np.asarray(f.desc) == 0)

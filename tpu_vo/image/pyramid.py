@@ -1,0 +1,94 @@
+"""ORB-style image pyramid with OpenCV-convention bilinear resize.
+
+cv::ORB builds its pyramid by cascaded resizes: level L has size
+(round(W / 1.2^L), round(H / 1.2^L)) and is produced by INTER_LINEAR
+resize *from the previous level* (reference ORB config at
+visual_odometry.cpp:65-73: nlevels=8, scaleFactor=1.2).
+
+All level shapes are static functions of the input shape and config, so
+the whole pyramid jit-compiles to a fixed graph. Resize uses OpenCV's
+half-pixel-center convention src = (dst + 0.5) * scale - 0.5 with edge
+clamping, computed in float32 and rounded to uint8 — within +-1 intensity
+of OpenCV's fixed-point INTER_LINEAR, which downstream golden tests absorb.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_sizes(height: int, width: int, n_levels: int,
+                scale_factor: float) -> List[Tuple[int, int]]:
+    """Per-level (H, W) using OpenCV's cvRound(size / scale^level)."""
+    sizes = []
+    for level in range(n_levels):
+        s = scale_factor ** level
+        # cvRound = round-half-to-even, matching OpenCV
+        h = int(round(height / s))
+        w = int(round(width / s))
+        sizes.append((h, w))
+    return sizes
+
+
+def level_scales(n_levels: int, scale_factor: float) -> List[float]:
+    """Multiplier mapping level-L pixel coords back to level-0 coords."""
+    return [scale_factor ** level for level in range(n_levels)]
+
+
+def _axis_weights(dst: int, src: int, dtype=jnp.float32):
+    """Gather indices and lerp weights for one axis of a bilinear resize."""
+    scale = src / dst
+    x = (jnp.arange(dst, dtype=dtype) + 0.5) * scale - 0.5
+    x0 = jnp.floor(x)
+    w = x - x0
+    i0 = jnp.clip(x0.astype(jnp.int32), 0, src - 1)
+    i1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, src - 1)
+    # OpenCV clamps the source coordinate itself: when x < 0 both taps are
+    # pixel 0 and the weight is irrelevant; mirror that by zeroing w there.
+    w = jnp.where(x < 0, 0.0, w)
+    return i0, i1, w
+
+
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize of (H, W) or (..., H, W) images, uint8 or float."""
+    in_dtype = img.dtype
+    h, w = img.shape[-2], img.shape[-1]
+    x = img.astype(jnp.float32)
+
+    r0, r1, wr = _axis_weights(out_h, h)
+    c0, c1, wc = _axis_weights(out_w, w)
+
+    top = x[..., r0, :]
+    bot = x[..., r1, :]
+    rows = top + (bot - top) * wr[..., :, None]
+    left = rows[..., :, c0]
+    right = rows[..., :, c1]
+    out = left + (right - left) * wc
+
+    if jnp.issubdtype(in_dtype, jnp.integer):
+        info = jnp.iinfo(in_dtype)
+        out = jnp.clip(jnp.round(out), info.min, info.max).astype(in_dtype)
+    return out
+
+
+def build_pyramid(img: jax.Array, n_levels: int,
+                  scale_factor: float) -> List[jax.Array]:
+    """Cascaded pyramid like cv::ORB: level L resized from level L-1.
+
+    Returns a list of n_levels float32 images with static shapes. Each
+    level is rounded to integral values to mirror OpenCV's uint8 cascade
+    (detection thresholds compare integer intensities in OpenCV; rounding
+    keeps our comparisons aligned), while staying float32 for the TPU
+    compute path.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    sizes = level_sizes(h, w, n_levels, scale_factor)
+    levels = [img.astype(jnp.float32)]
+    for level in range(1, n_levels):
+        lh, lw = sizes[level]
+        nxt = resize_bilinear(levels[-1], lh, lw)
+        levels.append(jnp.clip(jnp.round(nxt), 0.0, 255.0))
+    return levels

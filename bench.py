@@ -1,0 +1,81 @@
+"""Benchmark harness: VO frames/sec/chip on a KITTI-style sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the batched three-stage pipeline (ORB frontend -> pairwise
+matching + 5-point RANSAC + pose recovery -> associative pose chaining) on
+a synthetic 1241x376 sequence staged in device memory (BASELINE.json
+config 2 geometry; the decode path is measured separately by the loader,
+not here — the north star is device throughput). vs_baseline is the
+speedup over the OpenCV reference pipeline (tpu_vo/utils/cv_reference, a
+faithful port of /root/reference/src/visual_odometry.cpp) executed on this
+host's CPU over the same frames.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_vo.configs import ORBConfig, RansacConfig, VOConfig
+    from tpu_vo.pipeline.runner import run_sequence_batched
+    from tpu_vo.utils.cv_reference import ReferenceVO
+    from tpu_vo.utils.synthetic import make_sequence
+
+    W, H = 1241, 376
+    T = int(os.environ.get("BENCH_FRAMES", "64"))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    frames_np, _, _, _ = make_sequence(n_frames=T, width=W, height=H, seed=0)
+
+    # --- baseline: the OpenCV reference pipeline on this host ------------
+    n_base = min(T, 16)
+    ref = ReferenceVO(W, H)
+    t0 = time.perf_counter()
+    ref.run(frames_np[:n_base])
+    base_fps = n_base / (time.perf_counter() - t0)
+
+    # --- TPU pipeline -----------------------------------------------------
+    cfg = VOConfig(
+        image_width=W, image_height=H,
+        orb=ORBConfig(n_features=1200),
+        ransac=RansacConfig(max_iters=256),
+    )
+    frames = jax.device_put(np.stack(frames_np))
+
+    frame_chunk = int(os.environ.get("BENCH_FRAME_CHUNK", "8"))
+    pair_chunk = int(os.environ.get("BENCH_PAIR_CHUNK", "9"))
+
+    run = jax.jit(lambda f: run_sequence_batched(
+        f, cfg, frame_chunk=frame_chunk, pair_chunk=pair_chunk))
+
+    # warmup/compile
+    out = run(frames)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        out = run(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = REPEATS * T / dt
+
+    print(json.dumps({
+        "metric": "VO frames/sec/chip (1241x376, 1200 kps, 5pt RANSAC)",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / base_fps, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

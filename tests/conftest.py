@@ -23,6 +23,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the pipeline graphs (8-level ORB + RANSAC)
+# are expensive to compile on CPU; cache them across test runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

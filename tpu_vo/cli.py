@@ -1,0 +1,190 @@
+"""Command-line driver mirroring the reference's main.cpp.
+
+Usage: python -m tpu_vo.cli [dataset_dir] [options]
+
+Behavioral map to main.cpp:
+  - dataset path from argv or autodetect data/Dataset_VO / Dataset_VO
+    (:59-73), enumerate + lexicographically sort .png/.jpg/.jpeg (:26-49);
+  - first image probes W x H, intrinsics derived fx=fy=W (:98-106);
+  - per-frame: banner + "Frame i: Detected N keypoints", [MatchDebug],
+    [PoseUpdate], "Position: [...]" — the same information content as the
+    reference's stdout (SURVEY.md §5 observability);
+  - after the loop, the 7 canonical trajectory screenshots are written to
+    <dataset>/trajectory_screenshots (:196-208), plus TUM/npz trajectories
+    (new: the reference persisted nothing but screenshots).
+
+The GUI event loop (q/SPACE/+/- pacing, main.cpp:164-193) is replaced by
+headless streaming with an async prefetch loader; pass --show to get an
+interactive overlay window when a display is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_vo.configs import MatchConfig, ORBConfig, RansacConfig, VOConfig
+from tpu_vo.io.dataset import autodetect_dataset, list_image_paths, parse_timestamp
+from tpu_vo.io.loader import PrefetchLoader
+from tpu_vo.io.trajectory_io import (
+    save_checkpoint,
+    save_trajectory_npz,
+    save_trajectory_tum,
+)
+from tpu_vo.geometry.se3 import Pose
+from tpu_vo.pipeline.step import initial_state, vo_step
+from tpu_vo.viz.trajectory import save_trajectory_screenshots
+
+
+def build_config(args, width: int, height: int) -> VOConfig:
+    return VOConfig(
+        image_width=width,
+        image_height=height,
+        orb=ORBConfig(n_features=args.features, n_levels=args.levels),
+        match=MatchConfig(use_ratio_test=args.ratio_test),
+        ransac=RansacConfig(max_iters=args.ransac_iters),
+        trajectory_scale=args.scale,
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tpu_vo", description="TPU-native monocular visual odometry")
+    p.add_argument("dataset", nargs="?", default=None,
+                   help="image directory (default: data/Dataset_VO)")
+    p.add_argument("--features", type=int, default=1200)
+    p.add_argument("--levels", type=int, default=8,
+                   help="ORB pyramid levels (reference: 8)")
+    p.add_argument("--ransac-iters", type=int, default=256)
+    p.add_argument("--scale", type=float, default=0.3)
+    p.add_argument("--ratio-test", action="store_true",
+                   help="Lowe ratio matching instead of cross-check")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--out-dir", default=None,
+                   help="output dir (default: <dataset>)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None, help="checkpoint to resume from")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--show", action="store_true",
+                   help="interactive keypoint overlay window (needs GUI)")
+    args = p.parse_args(argv)
+
+    print("=" * 40)
+    print("  TPU-native Visual Odometry (tpu_vo)")
+    print("=" * 40)
+
+    dataset = autodetect_dataset(args.dataset)
+    if not dataset or not os.path.isdir(dataset):
+        print("Dataset directory not found.\n"
+              "Expected one of:\n  - data/Dataset_VO (recommended)\n"
+              "  - Dataset_VO\n\nRun with an explicit path, e.g.:\n"
+              "  python -m tpu_vo.cli data/Dataset_VO", file=sys.stderr)
+        return -1
+    print(f"Dataset path: {dataset}")
+
+    paths = list_image_paths(dataset)
+    print(f"Found {len(paths)} images in dataset")
+    if not paths:
+        print("No images found in dataset directory!", file=sys.stderr)
+        return -1
+    if args.max_frames:
+        paths = paths[: args.max_frames]
+
+    from tpu_vo.io.dataset import load_frame
+
+    first = load_frame(paths[0])
+    height, width = first.shape
+    print(f"Image dimensions: {width} x {height}")
+
+    cfg = build_config(args, width, height)
+    print("Camera matrix initialized:")
+    fx, fy, cx, cy = cfg.intrinsics
+    print(np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]]))
+
+    step = jax.jit(functools.partial(vo_step, cfg=cfg))
+    if args.resume:
+        state = __import__("tpu_vo.io.trajectory_io", fromlist=["x"]
+                           ).load_checkpoint(args.resume)
+        print(f"Resumed from {args.resume} at frame {int(state.frame_idx)}")
+    else:
+        state = initial_state(cfg)
+
+    out_dir = args.out_dir or dataset
+    poses_R, poses_t, stamps = [], [], []
+
+    print(f"\nProcessing {len(paths)} frames...")
+    print("=" * 40)
+    t_start = time.time()
+    loader = PrefetchLoader(paths)
+    for i, path, frame in loader:
+        ts = parse_timestamp(path, i)
+        print(f"\n--- Frame {i + 1}/{len(paths)} ---")
+        state, out = step(state, frame)
+        poses_R.append(np.asarray(out.pose.R))
+        poses_t.append(np.asarray(out.pose.t))
+        stamps.append(ts)
+
+        if not args.quiet:
+            print(f"Frame {i}: Detected {int(out.num_keypoints)} keypoints")
+            print(f"[MatchDebug] #matches={int(out.num_matches)}"
+                  f"  inliers={int(out.num_inliers)}"
+                  f"  valid={int(out.num_valid_points)}"
+                  f"  residual={float(out.epipolar_residual):.4f}"
+                  f"  (units: Hamming-matched px)")
+            print(f"[PoseUpdate] matches={int(out.num_matches)}"
+                  f" pose_ok={int(out.pose_ok)}"
+                  f" scale={float(out.scale):.1f}")
+            pos = np.asarray(out.pose.t)
+            print(f"Position: [{pos[0]:.6g}, {pos[1]:.6g}, {pos[2]:.6g}]")
+
+        if args.show:
+            try:
+                import cv2
+
+                from tpu_vo.features.orb import detect_and_compute
+                from tpu_vo.viz.overlay import draw_keypoints_overlay
+
+                feats = jax.jit(
+                    functools.partial(detect_and_compute, cfg=cfg.orb)
+                )(frame)
+                overlay = draw_keypoints_overlay(np.asarray(frame), feats)
+                cv2.imshow("Visual Odometry: Keypoints", overlay[..., ::-1])
+                key = cv2.waitKey(1)
+                if key in (ord("q"), ord("Q"), 27):
+                    print("\nQuitting...")
+                    break
+            except Exception:
+                pass
+
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            save_checkpoint(os.path.join(out_dir, "vo_checkpoint.npz"), state)
+
+    elapsed = time.time() - t_start
+    n = len(poses_t)
+    print("\n" + "=" * 40)
+    print("Processing complete!")
+    print(f"Total frames processed: {n}")
+    print(f"Throughput: {n / max(elapsed, 1e-9):.1f} frames/sec "
+          f"(incl. first-compile)")
+
+    traj = Pose(jnp.asarray(np.stack(poses_R)), jnp.asarray(np.stack(poses_t)))
+    save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"), traj,
+                        np.asarray(stamps))
+    save_trajectory_npz(os.path.join(out_dir, "trajectory.npz"), traj)
+    shot_dir = os.path.join(out_dir, "trajectory_screenshots")
+    ok = save_trajectory_screenshots(traj, shot_dir)
+    print(("Saved trajectory screenshots to: " if ok
+           else "Failed to save trajectory screenshots to: ") + shot_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -132,6 +132,58 @@ def skew(v: jax.Array) -> jax.Array:
     )
 
 
+def rotation_to_quaternion(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) -> (..., 4) quaternion (x, y, z, w), TUM convention.
+
+    Branch-free Shepperd's method: compute all four candidate columns and
+    select by the largest diagonal combination (jit/vmap-safe).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-24))
+
+    # candidate 0: w largest
+    s0 = safe_sqrt(1.0 + tr) * 2.0
+    q0 = jnp.stack([(m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0,
+                    0.25 * s0], axis=-1)
+    # candidate 1: x largest
+    s1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = jnp.stack([0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1,
+                    (m21 - m12) / s1], axis=-1)
+    # candidate 2: y largest
+    s2 = safe_sqrt(1.0 - m00 + m11 - m22) * 2.0
+    q2 = jnp.stack([(m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2,
+                    (m02 - m20) / s2], axis=-1)
+    # candidate 3: z largest
+    s3 = safe_sqrt(1.0 - m00 - m11 + m22) * 2.0
+    q3 = jnp.stack([(m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3,
+                    (m10 - m01) / s3], axis=-1)
+
+    scores = jnp.stack([tr, m00, m11, m22], axis=-1)
+    pick = jnp.argmax(scores, axis=-1)
+    qs = jnp.stack([q0, q1, q2, q3], axis=-2)
+    q = jnp.take_along_axis(qs, pick[..., None, None].repeat(4, -1),
+                            axis=-2)[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quaternion_to_rotation(q: jax.Array) -> jax.Array:
+    """(..., 4) quaternion (x, y, z, w) -> (..., 3, 3)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack([
+        jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], -1),
+        jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], -1),
+        jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], -1),
+    ], axis=-2)
+
+
 def geodesic_rotation_distance(Ra: jax.Array, Rb: jax.Array) -> jax.Array:
     """Angle (radians) between two rotations; used by tests and metrics."""
     tr = jnp.trace(jnp.swapaxes(Ra, -1, -2) @ Rb, axis1=-2, axis2=-1)

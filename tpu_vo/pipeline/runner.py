@@ -1,0 +1,136 @@
+"""Sequence runners: streaming scan and batched-throughput pipelines.
+
+Two TPU-native replacements for the reference's serial frame loop
+(main.cpp:128-193):
+
+  - run_sequence_scan: `lax.scan` of vo_step over a preloaded (T, H, W)
+    tensor. Streaming semantics identical to the reference (state flows
+    frame to frame); one compiled graph for the whole sequence.
+
+  - run_sequence_batched: the throughput re-design. Frame-parallel work is
+    batched into three stages — (1) ORB features for all frames, (2)
+    matching + RANSAC + pose recovery for all *consecutive pairs* (pairs
+    are independent given features), (3) world-pose chaining as an
+    associative scan over SE3 (relative composition is associative, so the
+    only inherently sequential part of VO parallelizes to log depth).
+    This is what lets the frontend saturate the chip and shard over
+    devices (parallel/ wraps stage maps in shard_map).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_vo.configs import VOConfig
+from tpu_vo.features.orb import detect_and_compute
+from tpu_vo.geometry import se3
+from tpu_vo.geometry.se3 import Pose
+from tpu_vo.pipeline.step import (
+    VOState,
+    VOStepOutput,
+    estimate_pair,
+    initial_state,
+    vo_step,
+)
+
+
+def run_sequence_scan(frames: jax.Array, cfg: VOConfig,
+                      seed: int = 0) -> VOStepOutput:
+    """Streaming VO over (T, H, W) frames; returns stacked per-frame outputs.
+
+    Output poses form the trajectory (T entries, first = identity),
+    matching the reference's trajectory_poses_ content.
+    """
+    state = initial_state(cfg, seed)
+    step = functools.partial(vo_step, cfg=cfg)
+    _, outs = jax.lax.scan(lambda s, f: step(s, f), state, frames)
+    return outs
+
+
+def _chunked_map(fn, xs, chunk: Optional[int]):
+    """vmap(fn) applied in chunks via lax.map — bounds peak memory while
+    keeping intra-chunk parallelism. chunk=None -> single full vmap."""
+    leaves = jax.tree_util.tree_leaves(xs)
+    n = leaves[0].shape[0]
+    if chunk is None or chunk >= n:
+        return jax.vmap(fn)(xs)
+    assert n % chunk == 0, f"sequence length {n} not divisible by {chunk}"
+    xs_c = jax.tree.map(lambda a: a.reshape(n // chunk, chunk, *a.shape[1:]), xs)
+    out = jax.lax.map(jax.vmap(fn), xs_c)
+    return jax.tree.map(lambda a: a.reshape(n, *a.shape[2:]), out)
+
+
+def chain_relative_poses(R: jax.Array, t: jax.Array, have_rt: jax.Array,
+                         pose_ok: jax.Array, cfg: VOConfig) -> Pose:
+    """World trajectory from per-pair relative motions via associative scan.
+
+    R, t: (P, 3, 3), (P, 3) relative motions x_c2 = R x_c1 + t for pairs
+    (i, i+1). Applies the reference's composition (invert relative motion,
+    scale translation by 0.3 / 0.0 / identity on failure,
+    visual_odometry.cpp:303-314 + failure ladder) and returns (P+1) poses
+    starting at identity.
+    """
+    scale = jnp.where(pose_ok, cfg.trajectory_scale, 0.0).astype(jnp.float32)
+    R_inv, t_inv = se3.invert_relative(R, t)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), R_inv.shape)
+    R_rel = jnp.where(have_rt[:, None, None], R_inv, eye)
+    t_rel = jnp.where(have_rt[:, None], scale[:, None] * t_inv, 0.0)
+
+    rel = Pose(R_rel, t_rel)
+    cum = jax.lax.associative_scan(
+        lambda a, b: se3.compose(a, b), rel, axis=0
+    )
+    first = Pose.identity((1,), dtype=jnp.float32)
+    return Pose(
+        jnp.concatenate([first.R, cum.R], axis=0),
+        jnp.concatenate([first.t, cum.t], axis=0),
+    )
+
+
+def run_sequence_batched(frames: jax.Array, cfg: VOConfig, seed: int = 0,
+                         frame_chunk: Optional[int] = None,
+                         pair_chunk: Optional[int] = None):
+    """Batched three-stage VO over (T, H, W) frames.
+
+    Returns (poses: Pose with leading dim T, diagnostics dict of (T-1,)
+    arrays). Statistically equivalent to run_sequence_scan (same estimator,
+    independent RANSAC draws).
+    """
+    T = frames.shape[0]
+
+    feats = _chunked_map(
+        lambda f: detect_and_compute(f, cfg.orb), frames, frame_chunk
+    )
+
+    prev = jax.tree.map(lambda a: a[:-1], feats)
+    cur = jax.tree.map(lambda a: a[1:], feats)
+    # Same per-pair keys as the scan runner (vo_step folds in frame_idx,
+    # which is i when processing frame i against frame i-1's features).
+    base = jax.random.PRNGKey(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(1, T, dtype=jnp.int32)
+    )
+
+    est = _chunked_map(
+        lambda args: estimate_pair(args[0], args[1], args[2], cfg),
+        (prev, cur, keys),
+        pair_chunk,
+    )
+
+    poses = chain_relative_poses(
+        est["R"], est["t"], est["have_rt"], est["pose_ok"], cfg
+    )
+    diags = {
+        "num_keypoints": est["n_keypoints"],
+        "num_matches": est["n_good"],
+        "num_inliers": est["n_inliers"],
+        "num_valid_points": est["n_valid_points"],
+        "pose_ok": est["pose_ok"],
+        "epipolar_residual": est["mean_residual"],
+        "F": est["F"],
+    }
+    return poses, diags

@@ -57,14 +57,19 @@ def main():
     run = jax.jit(lambda f: run_sequence_batched(
         f, cfg, frame_chunk=frame_chunk, pair_chunk=pair_chunk))
 
-    # warmup/compile
-    out = run(frames)
-    jax.block_until_ready(out)
+    def force(out):
+        # On remote-execution platforms block_until_ready can return before
+        # the computation actually runs; a host fetch of a small leaf is the
+        # only reliable fence.
+        return np.asarray(out[0].t[-1])
+
+    # warmup/compile (force real execution)
+    force(run(frames))
+    force(run(frames))
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
-        out = run(frames)
-    jax.block_until_ready(out)
+        force(run(frames))
     dt = time.perf_counter() - t0
     fps = REPEATS * T / dt
 

@@ -124,6 +124,21 @@ def test_triangulation_matches_cv2(rng):
     np.testing.assert_allclose(X_ours, X_cv, atol=1e-4)
 
 
+def test_cheirality_midpoint_matches_dlt(rng):
+    """Closed-form fast path agrees with the DLT replica of recoverPose."""
+    K, R, t, X, x1, x2 = make_two_view_scene(rng, n=200)
+    x1 += rng.normal(scale=0.3, size=x1.shape)
+    x2 += rng.normal(scale=0.3, size=x2.shape)
+    x1n = camera.normalize_points(jnp.asarray(x1), jnp.asarray(K))
+    x2n = camera.normalize_points(jnp.asarray(x2), jnp.asarray(K))
+    for Rt, tt in [(R, t), (R, -t)]:
+        mid = np.asarray(triangulation.cheirality_mask(
+            jnp.asarray(Rt), jnp.asarray(tt), x1n, x2n, method="midpoint"))
+        dlt = np.asarray(triangulation.cheirality_mask(
+            jnp.asarray(Rt), jnp.asarray(tt), x1n, x2n, method="dlt"))
+        assert (mid == dlt).mean() > 0.97, (mid.sum(), dlt.sum())
+
+
 def test_cheirality_selects_true_motion(rng):
     K, R, t, X, x1, x2 = make_two_view_scene(rng)
     x1n = camera.normalize_points(jnp.asarray(x1), jnp.asarray(K))

@@ -45,13 +45,35 @@ def triangulate_dlt(P0: jax.Array, P1: jax.Array, x1: jax.Array,
 
 
 def cheirality_mask(R: jax.Array, t: jax.Array, x1: jax.Array, x2: jax.Array,
-                    distance_thresh: float = 50.0) -> jax.Array:
+                    distance_thresh: float = 50.0,
+                    method: str = "midpoint") -> jax.Array:
     """Boolean mask of points in front of both cameras and within depth bound.
 
     x1/x2 are normalized camera coordinates (..., N, 2). Mirrors
-    cv::recoverPose's test: z/w > 0 in camera 1, depth < distance_thresh,
+    cv::recoverPose's test: depth > 0 in camera 1, depth < distance_thresh,
     and the same in camera 2 after applying [R|t].
+
+    method="midpoint" (default, TPU fast path): closed-form ray depth from
+    the cross-product identity z1 (x2 x R x1) = -(x2 x t); a handful of
+    fused elementwise ops. method="dlt" replicates cv::recoverPose's DLT
+    triangulation exactly (batched 4x4 eigendecomposition — slower; used
+    by parity tests). The two agree except for points near the depth
+    cutoff under noise.
     """
+    if method == "midpoint":
+        h1 = homogenize(x1)
+        h2 = homogenize(x2)
+        Rx1 = jnp.einsum("...ij,...nj->...ni", R, h1)
+        a = jnp.cross(h2, Rx1)                       # x2 x R x1
+        b = jnp.cross(h2, jnp.broadcast_to(t[..., None, :], h2.shape))
+        denom = jnp.sum(a * a, axis=-1)
+        z1 = -jnp.sum(a * b, axis=-1) / jnp.maximum(denom, 1e-18)
+        z2 = z1 * Rx1[..., 2] + t[..., None, 2]
+        ok = (z1 > 0) & (z1 < distance_thresh)
+        ok &= (z2 > 0) & (z2 < distance_thresh)
+        ok &= denom > 1e-18
+        return ok
+
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     zeros = jnp.zeros_like(t)
     P0 = projection_matrix(eye, zeros)

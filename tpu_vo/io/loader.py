@@ -10,6 +10,7 @@ HBM up front (decode once, stream from device memory).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, List, Optional, Sequence
@@ -22,16 +23,43 @@ from tpu_vo.io.dataset import load_frame
 
 
 class PrefetchLoader:
-    """Iterate device-resident frames with a decode-ahead thread."""
+    """Iterate device-resident frames with a decode-ahead thread.
+
+    When the native C++ loader (io/native_loader.py) is available and the
+    paths form a single directory, decode happens on its worker pool
+    (libpng/libjpeg, exact BT.601 gray); otherwise a Python thread decodes
+    via PIL. Either way frames are device_put ahead of consumption.
+    """
 
     def __init__(self, paths: Sequence[str], depth: int = 2,
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None,
+                 use_native: bool = True):
         self.paths = list(paths)
         self.depth = max(1, depth)
         self.device = device or jax.devices()[0]
         self._q: "queue.Queue" = queue.Queue(maxsize=self.depth)
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._native = None
+        if use_native and self.paths:
+            dirs = {os.path.dirname(p) for p in self.paths}
+            if len(dirs) == 1:
+                try:
+                    from tpu_vo.io import native_loader
+
+                    if native_loader.available():
+                        ds = native_loader.NativeDataset(
+                            dirs.pop(), n_threads=4, depth=2 * self.depth)
+                        if ds.num_frames == len(self.paths):
+                            self._native = ds
+                except Exception:
+                    self._native = None
+        worker = self._worker_native if self._native else self._worker
+        self._thread = threading.Thread(target=worker, daemon=True)
         self._started = False
+
+    def _worker_native(self):
+        for i, arr in self._native:
+            self._q.put((i, self.paths[i], jax.device_put(arr, self.device)))
+        self._q.put(None)
 
     def _worker(self):
         for i, p in enumerate(self.paths):

@@ -99,8 +99,22 @@ def nonmax_suppress(score: jax.Array, corner: jax.Array):
     return corner & (score > nmax)
 
 
+def _use_pallas() -> bool:
+    """Use the Pallas kernel on accelerator backends (bit-identical to the
+    XLA formulation — see tests); pure-XLA on CPU, where Mosaic kernels
+    would need interpret mode."""
+    import jax as _jax
+
+    return _jax.default_backend() != "cpu"
+
+
 def detect(img: jax.Array, threshold: int, nonmax: bool = True):
     """Full FAST detection: (score, keep) maps."""
-    score, corner = fast_score_map(img, threshold)
+    if _use_pallas():
+        from tpu_vo.ops.fast_pallas import fast_margin_pallas
+
+        score, corner = fast_margin_pallas(img, threshold)
+    else:
+        score, corner = fast_score_map(img, threshold)
     keep = nonmax_suppress(score, corner) if nonmax else corner
     return score, keep

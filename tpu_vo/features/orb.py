@@ -98,7 +98,7 @@ def _detect_level(lvl: jax.Array, n_level: int, cfg: ORBConfig):
     xs = xs2[sel]
     valid = jnp.isfinite(v1)
 
-    ang = orientation.ic_angles_gather(lvl, ys, xs)
+    ang = orientation.ic_angles_prefix(lvl, ys, xs)
     blurred = gaussian_blur(lvl)
     bits = brief.descriptor_bits(blurred, ys, xs, ang)
     return ys, xs, v1, ang, bits, valid

@@ -113,6 +113,34 @@ def _circle_offsets(half_patch: int = HALF_PATCH):
 _OFFS, _US, _VS = _circle_offsets()
 
 
+def ic_angles_prefix(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Orientation via horizontal prefix sums — the TPU fast path.
+
+    Each circular-patch row contributes sum_{u=-d..d} u*I and sum I, both
+    expressible as two prefix-sum differences, so the per-keypoint gather
+    shrinks from 725 patch pixels to 31 rows x 4 prefix values. All
+    accumulation is int32 (images are integral-valued), so the result is
+    exactly the gather/dense formulation.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    umax = build_umax()
+    ii = jnp.round(img).astype(jnp.int32)
+    x_idx = jnp.arange(w, dtype=jnp.int32)
+    P0 = jnp.pad(jnp.cumsum(ii, axis=-1), ((0, 0), (1, 0)))
+    P1 = jnp.pad(jnp.cumsum(ii * x_idx[None, :], axis=-1), ((0, 0), (1, 0)))
+
+    v = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.int32)   # (31,)
+    d = jnp.asarray(umax, dtype=jnp.int32)[jnp.abs(v)]             # (31,)
+    rows = jnp.clip(ys[:, None] + v[None, :], 0, h - 1)            # (N, 31)
+    hi = jnp.clip(xs[:, None] + d[None, :] + 1, 0, w)
+    lo = jnp.clip(xs[:, None] - d[None, :], 0, w)
+    s0 = P0[rows, hi] - P0[rows, lo]                               # (N, 31)
+    s1 = P1[rows, hi] - P1[rows, lo]
+    m10 = jnp.sum(s1 - xs[:, None] * s0, axis=1)
+    m01 = jnp.sum(v[None, :] * s0, axis=1)
+    return fast_atan2_deg(m01.astype(jnp.float32), m10.astype(jnp.float32))
+
+
 def ic_angles_gather(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     """Orientation via sparse patch gather — O(N * patch) instead of a dense
     31x31 correlation over the whole level; the production ORB path."""

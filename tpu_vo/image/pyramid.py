@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -38,35 +40,39 @@ def level_scales(n_levels: int, scale_factor: float) -> List[float]:
     return [scale_factor ** level for level in range(n_levels)]
 
 
-def _axis_weights(dst: int, src: int, dtype=jnp.float32):
-    """Gather indices and lerp weights for one axis of a bilinear resize."""
+def _resize_matrix(dst: int, src: int) -> np.ndarray:
+    """(src, dst) interpolation matrix for one axis (OpenCV half-pixel
+    convention, edge-clamped). Bilinear resize along an axis is a linear
+    map, so it becomes a small static matmul — on TPU this runs on the
+    MXU instead of lowering to lane-axis gathers (which are very slow).
+    """
     scale = src / dst
-    x = (jnp.arange(dst, dtype=dtype) + 0.5) * scale - 0.5
-    x0 = jnp.floor(x)
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x)
     w = x - x0
-    i0 = jnp.clip(x0.astype(jnp.int32), 0, src - 1)
-    i1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, src - 1)
-    # OpenCV clamps the source coordinate itself: when x < 0 both taps are
-    # pixel 0 and the weight is irrelevant; mirror that by zeroing w there.
-    w = jnp.where(x < 0, 0.0, w)
-    return i0, i1, w
+    w = np.where(x < 0, 0.0, w)  # OpenCV clamps the source coordinate
+    i0 = np.clip(x0.astype(np.int64), 0, src - 1)
+    i1 = np.clip(x0.astype(np.int64) + 1, 0, src - 1)
+    M = np.zeros((src, dst), dtype=np.float32)
+    np.add.at(M, (i0, np.arange(dst)), 1.0 - w)
+    np.add.at(M, (i1, np.arange(dst)), w)
+    return M
 
 
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear resize of (H, W) or (..., H, W) images, uint8 or float."""
+    """Bilinear resize of (H, W) or (..., H, W) images, uint8 or float.
+
+    Implemented as two static matmuls (rows then columns) so the whole
+    resize lands on the MXU.
+    """
     in_dtype = img.dtype
     h, w = img.shape[-2], img.shape[-1]
     x = img.astype(jnp.float32)
 
-    r0, r1, wr = _axis_weights(out_h, h)
-    c0, c1, wc = _axis_weights(out_w, w)
-
-    top = x[..., r0, :]
-    bot = x[..., r1, :]
-    rows = top + (bot - top) * wr[..., :, None]
-    left = rows[..., :, c0]
-    right = rows[..., :, c1]
-    out = left + (right - left) * wc
+    Mr = jnp.asarray(_resize_matrix(out_h, h))   # (h, out_h)
+    Mc = jnp.asarray(_resize_matrix(out_w, w))   # (w, out_w)
+    out = jnp.einsum("ho,...hw->...ow", Mr, x)
+    out = jnp.einsum("wo,...hw->...ho", Mc, out)
 
     if jnp.issubdtype(in_dtype, jnp.integer):
         info = jnp.iinfo(in_dtype)

@@ -168,6 +168,9 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
         n_valid_points=rec.num_valid,
         F=F,
         mean_residual=mean_resid,
+        # matched-correspondence slots for downstream refinement (config 5)
+        match_train_idx=good.train_idx,
+        match_mask=res.inliers,
     )
 
 

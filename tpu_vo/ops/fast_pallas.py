@@ -30,8 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_vo.features.fast import CIRCLE_OFFSETS
 
-# (16, h_pad, TILE) f32 input block + diff temps must fit in ~16MB VMEM.
+# (16, ROW_TILE, LANE_TILE) f32 input block + the tree-min temporaries must
+# fit in ~16MB VMEM (the temps are ~4x the input block).
 LANE_TILE = 128
+ROW_TILE = 96
 
 
 def _margin_kernel(img_ref, circ_ref, score_ref, corner_ref, *, threshold):
@@ -69,7 +71,7 @@ def _margin_call(imgs: jax.Array, threshold: int):
     )  # (B, 16, H, W)
 
     w_pad = -(-w // LANE_TILE) * LANE_TILE
-    h_pad = -(-h // 8) * 8
+    h_pad = -(-h // ROW_TILE) * ROW_TILE
     if (w_pad, h_pad) != (w, h):
         imgs_p = jnp.pad(imgs, ((0, 0), (0, h_pad - h), (0, w_pad - w)))
         circ_p = jnp.pad(circ, ((0, 0), (0, 0), (0, h_pad - h),
@@ -77,21 +79,24 @@ def _margin_call(imgs: jax.Array, threshold: int):
     else:
         imgs_p, circ_p = imgs, circ
 
-    grid = (b, w_pad // LANE_TILE)
+    grid = (b, h_pad // ROW_TILE, w_pad // LANE_TILE)
     score, corner = pl.pallas_call(
         functools.partial(_margin_kernel, threshold=threshold),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h_pad, LANE_TILE), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, ROW_TILE, LANE_TILE),
+                         lambda bi, r, i: (bi, r, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, h_pad, LANE_TILE),
-                         lambda bi, i: (bi, 0, 0, i),
+            pl.BlockSpec((1, 16, ROW_TILE, LANE_TILE),
+                         lambda bi, r, i: (bi, 0, r, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, h_pad, LANE_TILE), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, ROW_TILE, LANE_TILE),
+                         lambda bi, r, i: (bi, r, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_pad, LANE_TILE), lambda bi, i: (bi, 0, i),
+            pl.BlockSpec((1, ROW_TILE, LANE_TILE),
+                         lambda bi, r, i: (bi, r, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

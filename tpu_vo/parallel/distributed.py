@@ -1,0 +1,45 @@
+"""Multi-host initialization helpers.
+
+The reference has no distributed backend at all (SURVEY.md §2c); tpu_vo
+scales across hosts with jax.distributed + XLA collectives. On a TPU pod
+slice each host calls initialize() (coordinator resolved from the TPU
+environment automatically); meshes built afterwards span all hosts'
+devices, and the sharded runners in parallel/sharding.py work unchanged —
+DP traffic is zero, SP traffic rides ICI within the slice and DCN across
+slices, inserted by XLA from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with TPU auto-detection defaults.
+
+    No-op when already initialized or when running single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized or single-process environment
+        pass
+
+
+def global_mesh(axis_names=("data", "seq"), axis_sizes=None):
+    """Mesh over all global devices (multi-host aware)."""
+    from tpu_vo.parallel.mesh import make_mesh
+
+    return make_mesh(axis_sizes, axis_names, devices=jax.devices())
+
+
+def is_multi_host() -> bool:
+    return jax.process_count() > 1

@@ -79,6 +79,37 @@ def test_checkpoint_roundtrip_api(vo_run, tmp_path):
     assert f.processed
 
 
+def test_resume_is_exact(tmp_path):
+    """Straight run == run interrupted by checkpoint/restore (bitwise)."""
+    W, H = 256, 192
+    frames, _, _, _ = make_sequence(n_frames=4, width=W, height=H, seed=7)
+    cfg = VOConfig(
+        image_width=W, image_height=H,
+        orb=ORBConfig(n_features=300, n_levels=2),
+        ransac=RansacConfig(max_iters=32),
+    )
+
+    vo_a = VisualOdometry(W, H, config=cfg)
+    for i, img in enumerate(frames):
+        vo_a.process_frame(Frame.from_image(i, img))
+
+    vo_b = VisualOdometry(W, H, config=cfg)
+    for i in range(2):
+        vo_b.process_frame(Frame.from_image(i, frames[i]))
+    p = str(tmp_path / "mid.npz")
+    vo_b.save_checkpoint(p)
+    vo_c = VisualOdometry(W, H, config=cfg)
+    vo_c.restore_checkpoint(p)
+    for i in range(2, 4):
+        vo_c.process_frame(Frame.from_image(i, frames[i]))
+
+    tail_a = vo_a.get_trajectory()[2:]
+    tail_c = vo_c.get_trajectory()
+    assert len(tail_c) == 2
+    for a, c in zip(tail_a, tail_c):
+        np.testing.assert_array_equal(a, c)
+
+
 def test_trajectory_viewer(vo_run, tmp_path):
     vo, _, _ = vo_run
     viewer = TrajectoryViewer()

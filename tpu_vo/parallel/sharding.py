@@ -32,6 +32,23 @@ from tpu_vo.configs import VOConfig
 from tpu_vo.pipeline.runner import run_sequence_batched
 
 
+@functools.lru_cache(maxsize=None)
+def _batch_runner(cfg: VOConfig, mesh: Mesh,
+                  frame_chunk: Optional[int], pair_chunk: Optional[int]):
+    """Cached jitted runner — rebuilding the closure per call would defeat
+    jax's jit cache and recompile the full pipeline every invocation."""
+    def one(seq, seed_arr):
+        return run_sequence_batched(
+            seq, cfg, seed=0, frame_chunk=frame_chunk, pair_chunk=pair_chunk,
+        )
+
+    in_shard = (
+        NamedSharding(mesh, P("data", None, None, None)),
+        NamedSharding(mesh, P("data")),
+    )
+    return jax.jit(jax.vmap(one), in_shardings=in_shard)
+
+
 def run_batch_of_sequences(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
                            seed: int = 0,
                            frame_chunk: Optional[int] = None,
@@ -43,24 +60,19 @@ def run_batch_of_sequences(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
     collectives — throughput scales linearly with devices).
     Returns (poses (B, T), diagnostics dict of (B, T-1) arrays).
     """
-    def one(seq, seed_arr):
-        return run_sequence_batched(
-            seq, cfg, seed=0, frame_chunk=frame_chunk,
-            pair_chunk=pair_chunk,
-        )
-
     B = frames.shape[0]
     seeds = jnp.arange(B, dtype=jnp.uint32) + jnp.uint32(seed)
-
-    in_shard = (
-        NamedSharding(mesh, P("data", None, None, None)),
-        NamedSharding(mesh, P("data")),
-    )
-    fn = jax.jit(
-        jax.vmap(one),
-        in_shardings=in_shard,
-    )
+    fn = _batch_runner(cfg, mesh, frame_chunk, pair_chunk)
     return fn(frames, seeds)
+
+
+@functools.lru_cache(maxsize=None)
+def _time_sharded_runner(cfg: VOConfig, mesh: Mesh, seed: int, axis: str):
+    shard = NamedSharding(mesh, P(axis, None, None))
+    return jax.jit(
+        functools.partial(run_sequence_batched, cfg=cfg, seed=seed),
+        in_shardings=(shard,),
+    ), shard
 
 
 def run_sequence_time_sharded(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
@@ -72,10 +84,6 @@ def run_sequence_time_sharded(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
     XLA satisfies with a neighbor ppermute; the associative pose scan
     lowers to blocked scans + inter-shard combines on ICI.
     """
-    shard = NamedSharding(mesh, P(axis, None, None))
+    fn, shard = _time_sharded_runner(cfg, mesh, seed, axis)
     frames = jax.device_put(frames, shard)
-    fn = jax.jit(
-        functools.partial(run_sequence_batched, cfg=cfg, seed=seed),
-        in_shardings=(shard,),
-    )
     return fn(frames)

@@ -249,8 +249,18 @@ def main(argv=None):
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                for r in json.load(f):
+                    merged[r.get("config")] = r
+        except Exception:
+            pass
+    for r in results:
+        merged[r.get("config")] = r
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(list(merged.values()), f, indent=2)
     return 0
 
 

@@ -37,11 +37,14 @@ def main():
     frames_np, _, _, _ = make_sequence(n_frames=T, width=W, height=H, seed=0)
 
     # --- baseline: the OpenCV reference pipeline on this host ------------
+    # best of two runs to damp host-load noise in the CPU baseline
     n_base = min(T, 16)
-    ref = ReferenceVO(W, H)
-    t0 = time.perf_counter()
-    ref.run(frames_np[:n_base])
-    base_fps = n_base / (time.perf_counter() - t0)
+    base_fps = 0.0
+    for _ in range(2):
+        ref = ReferenceVO(W, H)
+        t0 = time.perf_counter()
+        ref.run(frames_np[:n_base])
+        base_fps = max(base_fps, n_base / (time.perf_counter() - t0))
 
     # --- TPU pipeline -----------------------------------------------------
     cfg = VOConfig(

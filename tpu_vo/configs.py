@@ -85,6 +85,13 @@ class RansacConfig:
     min_inliers: int = 12           # kMinInliers, visual_odometry.cpp:271
     min_valid_points: int = 10      # kMinValidPoints, visual_odometry.cpp:270
     distance_thresh: float = 50.0   # cv::recoverPose cheirality depth cutoff
+    # Additional (non-reference) gate: require the winning decomposition to
+    # hold at least this fraction of the RANSAC inliers. recoverPose's
+    # absolute >=10 gate lets a twisted-pair twin win a near-split
+    # cheirality vote when true depths flirt with distance_thresh; 0.0
+    # reproduces the reference exactly, ~0.5 rejects those flips into the
+    # rotation-only fallback.
+    min_valid_fraction: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,17 +53,28 @@ def _margin_kernel(img_ref, circ_ref, score_ref, corner_ref, *, threshold):
 
     dark = arc_max_min(d)
     bright = arc_max_min([-x for x in d])
-    margin = jnp.maximum(dark, bright)
-    thr = jnp.asarray(threshold, v.dtype)
+    # Comparisons/selects in f32: this Mosaic target rejects bf16 cmpf.
+    # All values are integers <= 255, exactly representable either way.
+    margin = jnp.maximum(dark, bright).astype(jnp.float32)
+    thr = jnp.asarray(threshold, jnp.float32)
     corner = margin > thr
     score = jnp.where(corner, jnp.maximum(margin, thr) - 1.0, 0.0)
-    score_ref[0] = score
+    score_ref[0] = score.astype(score_ref.dtype)
     corner_ref[0] = corner
 
 
 def _margin_call(imgs: jax.Array, threshold: int):
-    """(B, H, W) -> (score, corner) of the same shape."""
+    """(B, H, W) -> (score, corner); score in the input dtype.
+
+    Internally runs in bfloat16: pyramid levels are integral-valued
+    (0..255), and integers up to 256, their differences, mins/maxes and
+    the score (margin - 1) are all exactly representable in bfloat16 —
+    results are bit-identical to the float32 path while the dominant
+    (16, H, W) circle-stack traffic is halved.
+    """
+    in_dtype = imgs.dtype
     b, h, w = imgs.shape
+    imgs = imgs.astype(jnp.bfloat16)
     circ = jnp.stack(
         [jnp.roll(imgs, (-dy, -dx), axis=(-2, -1))
          for dx, dy in CIRCLE_OFFSETS],
@@ -107,7 +118,7 @@ def _margin_call(imgs: jax.Array, threshold: int):
     if (w_pad, h_pad) != (w, h):
         score = score[:, :h, :w]
         corner = corner[:, :h, :w]
-    return score, corner
+    return score.astype(in_dtype), corner
 
 
 @functools.lru_cache(maxsize=None)

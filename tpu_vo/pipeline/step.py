@@ -147,8 +147,22 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
         & (rec.num_valid >= rcfg.min_valid_points)
         & (res.num_inliers >= rcfg.min_inliers)
     )
+    if rcfg.min_valid_fraction > 0.0:
+        # optional non-reference gate against twisted-pair cheirality wins
+        frac_ok = (rec.num_valid.astype(jnp.float32)
+                   >= rcfg.min_valid_fraction
+                   * jnp.maximum(res.num_inliers, 1).astype(jnp.float32))
+        pose_ok = pose_ok & frac_ok
     # R, t "non-empty" in the reference sense: RANSAC produced a model.
     have_rt = attempted & res.success
+    if rcfg.min_valid_fraction > 0.0:
+        # A near-split cheirality vote means R itself is untrustworthy
+        # (possibly the twisted pair) — skip even the rotation-only
+        # fallback and hold the previous pose.
+        frac_ok2 = (rec.num_valid.astype(jnp.float32)
+                    >= rcfg.min_valid_fraction
+                    * jnp.maximum(res.num_inliers, 1).astype(jnp.float32))
+        have_rt = have_rt & frac_ok2
 
     F = fundamental_from_essential(res.E, K)
     resid = algebraic_residual(F, p1, p2)

@@ -104,42 +104,85 @@ def _detect_level(lvl: jax.Array, n_level: int, cfg: ORBConfig):
     return ys, xs, v1, ang, bits, valid
 
 
+def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
+    """FAST -> border -> top-2n by FAST -> Harris -> top-n; plus angles."""
+    h, w = lvl.shape
+    score, keep = fast.detect(lvl, cfg.fast_threshold)
+    keep = keep & _border_mask(h, w, cfg.edge_threshold)
+    masked = jnp.where(keep, score, 0.0)
+
+    k2 = min(2 * n_level, h * w)
+    v2, idx2 = jax.lax.top_k(masked.reshape(-1), k2)
+    ys2 = idx2 // w
+    xs2 = idx2 % w
+    cand_ok = v2 > 0.0
+
+    resp = harris.harris_at(lvl, ys2, xs2)
+    resp = jnp.where(cand_ok, resp, -jnp.inf)
+    k1 = min(n_level, k2)
+    v1, sel = jax.lax.top_k(resp, k1)
+    ys = ys2[sel]
+    xs = xs2[sel]
+    valid = jnp.isfinite(v1)
+    ang = orientation.ic_angles_prefix(lvl, ys, xs)
+    return ys, xs, jnp.where(valid, v1, 0.0), ang, valid
+
+
 def detect_and_compute(img: jax.Array,
                        cfg: ORBConfig = ORBConfig()) -> ORBFeatures:
     """ORB features of a (H, W) grayscale image (uint8 or float32 0..255).
 
     Output slots are ordered by pyramid level (OpenCV emits keypoints in
     the same level order); within a level, by descending Harris response.
-    Every stage runs per pyramid level (static Python loop, fixed shapes).
+
+    Detection/ranking/orientation run per level (static Python loop, fixed
+    shapes); the blurred levels are then flattened into one 1-D buffer so
+    all descriptor samples land in a single gather — one big fused gather
+    is measurably faster on TPU than 8 per-level ones, with no padded-
+    canvas pixel waste. Bit-identical to the per-level descriptor path.
     """
     img = img.astype(jnp.float32)
     levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     budgets = features_per_level(cfg.n_features, cfg.n_levels,
                                  cfg.scale_factor)
 
-    xs_all, ys_all, resp_all, ang_all, bits_all = [], [], [], [], []
-    oct_all, size_all, valid_all, scale_all = [], [], [], []
+    xs_all, ys_all, resp_all, ang_all, valid_all = [], [], [], [], []
+    oct_all, size_all, scale_all, blur_all, shapes = [], [], [], [], []
     for level, (lvl, n_level) in enumerate(zip(levels, budgets)):
         if n_level <= 0:
             continue
-        ys, xs, resp, ang, bits, valid = _detect_level(lvl, n_level, cfg)
+        ys, xs, resp, ang, valid = _select_level_keypoints(lvl, n_level, cfg)
         scale = float(cfg.scale_factor ** level)
         xs_all.append(xs)
         ys_all.append(ys)
-        resp_all.append(jnp.where(valid, resp, 0.0))
+        resp_all.append(resp)
         ang_all.append(ang)
-        bits_all.append(bits)
+        valid_all.append(valid)
         oct_all.append(jnp.full(xs.shape, level, dtype=jnp.int32))
         size_all.append(jnp.full(xs.shape, cfg.patch_size * scale,
                                  dtype=jnp.float32))
         scale_all.append(jnp.full(xs.shape, scale, dtype=jnp.float32))
-        valid_all.append(valid)
+        blur_all.append(gaussian_blur(lvl))
+        shapes.append(lvl.shape)
+
+    # Single flat descriptor gather across all levels.
+    flat = jnp.concatenate([b.ravel() for b in blur_all])
+    bases = np.cumsum([0] + [h_ * w_ for (h_, w_) in shapes])[:-1]
+    idx_parts = []
+    for (h_, w_), ys, xs, ang, base in zip(shapes, ys_all, xs_all, ang_all,
+                                           bases):
+        dy, dx = brief.steered_offsets(ang)
+        sy = jnp.clip(ys[:, None] + dy, 0, h_ - 1)
+        sx = jnp.clip(xs[:, None] + dx, 0, w_ - 1)
+        idx_parts.append(int(base) + sy * w_ + sx)
+    idx = jnp.concatenate(idx_parts)         # (N, 512)
+    vals = jnp.take(flat, idx)
+    bits = vals[:, 0::2] < vals[:, 1::2]     # (N, 256)
 
     xs = jnp.concatenate(xs_all)
     ys = jnp.concatenate(ys_all)
     scale = jnp.concatenate(scale_all)
     xy = jnp.stack([xs, ys], axis=-1).astype(jnp.float32) * scale[:, None]
-    bits = jnp.concatenate(bits_all)
     valid = jnp.concatenate(valid_all)
     desc_u8 = jnp.where(valid[:, None], brief.pack_bits_u8(bits), 0)
     desc_u32 = jnp.where(valid[:, None], brief.pack_bits_u32(bits), 0)

@@ -8,6 +8,7 @@ OpenCV's internal +-1 blur rounding.
 
 import cv2
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tpu_vo.configs import ORBConfig
@@ -121,6 +122,7 @@ def test_features_per_level_matches_opencv_allocation():
     assert n[0] == expect0
 
 
+@pytest.mark.slow
 def test_orb_end_to_end_parity(rng):
     """Full detect_and_compute vs cv2.ORB on the same image."""
     img = textured_image(rng, 240, 320)
@@ -159,6 +161,7 @@ def test_orb_end_to_end_parity(rng):
     assert np.mean(bitdiffs) < 3
 
 
+@pytest.mark.slow
 def test_orb_fixed_shapes_and_masking(rng):
     """Blank image: all slots invalid, all shapes still fixed."""
     img = jnp.zeros((96, 128), dtype=jnp.float32)

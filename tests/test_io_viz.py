@@ -176,6 +176,7 @@ def test_epipolar_render_line_passes_through_match(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     """Full CLI on a small synthetic dataset: outputs + exit code."""
     from tpu_vo.utils.synthetic import make_sequence, write_dataset

@@ -2,12 +2,14 @@
 
 import cv2
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tpu_vo.configs import ORBConfig
 from tpu_vo.features.orb import detect_and_compute, detect_and_compute_packed
 
 
+@pytest.mark.slow
 def test_packed_equals_per_level(rng):
     img = rng.uniform(0, 255, (240, 320)).astype(np.float32)
     img = cv2.GaussianBlur(img, (0, 0), 3.0)

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from tpu_vo.features import fast
 
 
+@pytest.mark.slow
 def test_fast_margin_pallas_matches_xla_interpret(rng):
     """The Pallas FAST kernel is bit-identical to the XLA formulation."""
     from jax.experimental.pallas import tpu as pltpu

@@ -89,6 +89,7 @@ def test_trajectory_tracks_reference_and_gt(scene, cfg, scan_outputs):
     assert rot_ours < rot_ref + 1.0, (rot_ours, rot_ref)
 
 
+@pytest.mark.slow
 def test_batched_runner_agrees_with_scan(scene, cfg, scan_outputs):
     """The deterministic stages (features, matching) must agree exactly;
     the RANSAC stage is statistically equivalent but not bitwise (vmap
@@ -119,6 +120,7 @@ def test_batched_runner_agrees_with_scan(scene, cfg, scan_outputs):
     assert ate / extent < 0.3, f"batched vs scan ATE {ate} (extent {extent})"
 
 
+@pytest.mark.slow
 def test_batched_runner_chunked(scene, cfg):
     frames = jnp.asarray(np.stack(scene[0])[:8])
     a, _ = run_sequence_batched(frames, cfg, frame_chunk=4, pair_chunk=7)

@@ -1,6 +1,7 @@
 """LM pose refinement tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -89,6 +90,7 @@ def test_triangulate_pair_points(rng):
     np.testing.assert_allclose(P, X, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_refine_window_vmapped(rng):
     P = 3
     x1s, x2s, Rs, ts = [], [], [], []

@@ -110,23 +110,34 @@ def main(argv=None) -> int:
     print(np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]]))
 
     step = jax.jit(functools.partial(vo_step, cfg=cfg))
+    start = 0
     if args.resume:
         state = __import__("tpu_vo.io.trajectory_io", fromlist=["x"]
                            ).load_checkpoint(args.resume)
-        print(f"Resumed from {args.resume} at frame {int(state.frame_idx)}")
+        # Frames [0, frame_idx) were already consumed by the checkpointed
+        # run; re-running them would compose their motions twice.
+        start = min(int(state.frame_idx), len(paths))
+        print(f"Resumed from {args.resume} at frame {start} "
+              f"(skipping {start} processed frames)")
     else:
         state = initial_state(cfg)
 
     out_dir = args.out_dir or dataset
     poses_R, poses_t, stamps = [], [], []
 
-    print(f"\nProcessing {len(paths)} frames...")
+    n_total = len(paths)
+    print(f"\nProcessing {n_total - start} frames...")
+    if args.show:
+        print("Press 'q' or ESC to quit, SPACE to pause/resume")
     print("=" * 40)
     t_start = time.time()
-    loader = PrefetchLoader(paths)
-    for i, path, frame in loader:
+    paused = False
+    frame_delay = 30  # ms between frames (reference main.cpp:125)
+    loader = PrefetchLoader(paths[start:])
+    for j, path, frame in loader:
+        i = start + j
         ts = parse_timestamp(path, i)
-        print(f"\n--- Frame {i + 1}/{len(paths)} ---")
+        print(f"\n--- Frame {i + 1}/{n_total} ---")
         state, out = step(state, frame)
         poses_R.append(np.asarray(out.pose.R))
         poses_t.append(np.asarray(out.pose.t))
@@ -149,17 +160,33 @@ def main(argv=None) -> int:
             try:
                 import cv2
 
-                from tpu_vo.features.orb import detect_and_compute
                 from tpu_vo.viz.overlay import draw_keypoints_overlay
 
-                feats = jax.jit(
-                    functools.partial(detect_and_compute, cfg=cfg.orb)
-                )(frame)
-                overlay = draw_keypoints_overlay(np.asarray(frame), feats)
+                # state.prev after the step holds THIS frame's features —
+                # no second detect_and_compute, no per-frame retrace.
+                overlay = draw_keypoints_overlay(np.asarray(frame), state.prev)
                 cv2.imshow("Visual Odometry: Keypoints", overlay[..., ::-1])
-                key = cv2.waitKey(1)
-                if key in (ord("q"), ord("Q"), 27):
-                    print("\nQuitting...")
+                # Keyboard map matching main.cpp:164-193: q/ESC quit,
+                # SPACE pause/resume, +/- frame delay clamped 10-500 ms.
+                quit_req = False
+                while True:
+                    key = cv2.waitKey(100 if paused else frame_delay)
+                    if key in (ord("q"), ord("Q"), 27):
+                        print("\nQuitting...")
+                        quit_req = True
+                        break
+                    if key == ord(" "):
+                        paused = not paused
+                        print("Paused" if paused else "Resumed")
+                    if key in (ord("+"), ord("=")):
+                        frame_delay = max(10, frame_delay - 10)
+                        print(f"Frame delay: {frame_delay} ms")
+                    if key in (ord("-"), ord("_")):
+                        frame_delay = min(500, frame_delay + 10)
+                        print(f"Frame delay: {frame_delay} ms")
+                    if not paused:
+                        break
+                if quit_req:
                     break
             except Exception:
                 pass
@@ -175,6 +202,9 @@ def main(argv=None) -> int:
     print(f"Throughput: {n / max(elapsed, 1e-9):.1f} frames/sec "
           f"(incl. first-compile)")
 
+    if not poses_t:
+        print("No frames processed; nothing to save.")
+        return 0
     traj = Pose(jnp.asarray(np.stack(poses_R)), jnp.asarray(np.stack(poses_t)))
     save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"), traj,
                         np.asarray(stamps))

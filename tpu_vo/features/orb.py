@@ -75,35 +75,6 @@ def _border_mask(h: int, w: int, border: int) -> jax.Array:
     )
 
 
-def _detect_level(lvl: jax.Array, n_level: int, cfg: ORBConfig):
-    """One pyramid level: returns (ys, xs, response, angle, bits, valid)."""
-    h, w = lvl.shape
-    score, keep = fast.detect(lvl, cfg.fast_threshold)
-    keep = keep & _border_mask(h, w, cfg.edge_threshold)
-    masked = jnp.where(keep, score, 0.0)
-
-    # retainBest(2 * n_level) by FAST score.
-    k2 = min(2 * n_level, h * w)
-    v2, idx2 = jax.lax.top_k(masked.reshape(-1), k2)
-    ys2 = idx2 // w
-    xs2 = idx2 % w
-    cand_ok = v2 > 0.0
-
-    # Harris re-ranking, retainBest(n_level).
-    resp = harris.harris_at(lvl, ys2, xs2)
-    resp = jnp.where(cand_ok, resp, -jnp.inf)
-    k1 = min(n_level, k2)
-    v1, sel = jax.lax.top_k(resp, k1)
-    ys = ys2[sel]
-    xs = xs2[sel]
-    valid = jnp.isfinite(v1)
-
-    ang = orientation.ic_angles_prefix(lvl, ys, xs)
-    blurred = gaussian_blur(lvl)
-    bits = brief.descriptor_bits(blurred, ys, xs, ang)
-    return ys, xs, v1, ang, bits, valid
-
-
 def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
     """FAST -> border -> top-2n by FAST -> Harris -> top-n; plus angles."""
     h, w = lvl.shape

@@ -13,7 +13,7 @@ pose chain composes the *inverse* of that motion scaled by a fixed factor.
 All functions broadcast over arbitrary leading batch dimensions, so the same
 code paths serve a single pose, a trajectory of N poses, or a sharded
 (batch, N) block without modification. `compose` is associative, which makes
-trajectory chaining a `jax.lax.associative_scan` (see pipeline/chain.py) —
+trajectory chaining a `jax.lax.associative_scan` (see pipeline/runner.py) —
 the TPU-native replacement for the reference's serial pose loop.
 """
 

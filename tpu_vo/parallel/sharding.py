@@ -39,7 +39,8 @@ def _batch_runner(cfg: VOConfig, mesh: Mesh,
     jax's jit cache and recompile the full pipeline every invocation."""
     def one(seq, seed_arr):
         return run_sequence_batched(
-            seq, cfg, seed=0, frame_chunk=frame_chunk, pair_chunk=pair_chunk,
+            seq, cfg, seed=seed_arr,
+            frame_chunk=frame_chunk, pair_chunk=pair_chunk,
         )
 
     in_shard = (

@@ -91,10 +91,14 @@ def chain_relative_poses(R: jax.Array, t: jax.Array, have_rt: jax.Array,
     )
 
 
-def run_sequence_batched(frames: jax.Array, cfg: VOConfig, seed: int = 0,
+def run_sequence_batched(frames: jax.Array, cfg: VOConfig, seed=0,
                          frame_chunk: Optional[int] = None,
                          pair_chunk: Optional[int] = None):
     """Batched three-stage VO over (T, H, W) frames.
+
+    `seed` may be a Python int or a traced uint32/int32 scalar (the DP
+    runner passes per-sequence seeds through vmap so every sequence in a
+    batch draws independent RANSAC samples).
 
     Returns (poses: Pose with leading dim T, diagnostics dict of (T-1,)
     arrays). Statistically equivalent to run_sequence_scan (same estimator,

@@ -1,0 +1,84 @@
+"""End-to-end CLI validation on the well-conditioned corridor dataset.
+
+VERDICT r1 item 5: run the CLI on a rendered ground-truthed sequence and
+gate on quantitative accuracy vs ground truth AND vs the OpenCV reference
+pipeline (utils/cv_reference.ReferenceVO, the behavioral port of
+visual_odometry.cpp:323-378). The corridor scene gives strong parallax so
+the bounds are meaningful (see tools/diagnose_ate.py: on weak-parallax
+scenes even OpenCV-vs-ground-truth is ~16% of extent).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_vo.utils.cv_reference import ReferenceVO
+from tpu_vo.utils.metrics import (
+    ate_rmse,
+    extent,
+    scale_matched_gt,
+)
+from tpu_vo.utils.synthetic import make_corridor_sequence, write_dataset
+
+W, H, T = 320, 240, 12  # small so the CPU jit compile stays tractable
+
+
+@pytest.fixture(scope="module")
+def corridor():
+    return make_corridor_sequence(n_frames=T, width=W, height=H, seed=3)
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_accuracy(tmp_path_factory, corridor):
+    frames, Rs, ts, K = corridor
+    data_dir = str(tmp_path_factory.mktemp("corridor_ds"))
+    write_dataset(data_dir, frames)
+
+    from tpu_vo.cli import main
+
+    rc = main([data_dir, "--quiet"])
+    assert rc == 0
+
+    tum = np.loadtxt(os.path.join(data_dir, "trajectory_tum.txt"))
+    traj = tum[:, 1:4]
+    assert traj.shape == (T, 3)
+
+    ref_traj = ReferenceVO(W, H).run(frames)
+    gt = scale_matched_gt(np.stack(ts))
+    ext = extent(ref_traj)
+
+    ate_ref = ate_rmse(traj, ref_traj)
+    ate_gt = ate_rmse(traj, gt)
+    # Short sequence -> generous regression bounds; the headline <=1%
+    # number is measured on 96 frames in benchmarks/run_benchmarks.py.
+    assert ate_ref / ext < 0.05, f"ATE vs reference {ate_ref/ext:.3f}"
+    assert ate_gt / ext < 0.05, f"ATE vs ground truth {ate_gt/ext:.3f}"
+
+    # The reference pipeline must itself be healthy on this scene
+    # (guards the dataset generator against conditioning regressions).
+    assert ate_rmse(ref_traj, gt) / ext < 0.04
+
+    # Reference-parity artifacts: screenshots directory with the 7 views.
+    shots = os.listdir(os.path.join(data_dir, "trajectory_screenshots"))
+    assert len([s for s in shots if s.endswith(".jpg")]) == 7
+
+
+@pytest.mark.slow
+def test_batched_runner_matches_cli_scan(corridor):
+    """Scan (CLI path) and batched (throughput path) runners agree on the
+    corridor within estimator tolerance."""
+    import jax.numpy as jnp
+
+    from tpu_vo.configs import VOConfig
+    from tpu_vo.pipeline.runner import run_sequence_batched, run_sequence_scan
+
+    frames, Rs, ts, K = corridor
+    cfg = VOConfig(image_width=W, image_height=H)
+    fr = jnp.asarray(np.stack(frames))
+    outs = run_sequence_scan(fr, cfg)
+    poses, _ = run_sequence_batched(fr, cfg)
+    a = np.asarray(outs.pose.t)
+    b = np.asarray(poses.t)
+    ext = extent(a)
+    assert ate_rmse(a, b) / ext < 0.02

@@ -162,6 +162,35 @@ def test_orb_end_to_end_parity(rng):
 
 
 @pytest.mark.slow
+def test_retain_best_keep_ties_overlap(rng):
+    """retain_best_keep_ties emulates cv::KeyPointsFilter::retainBest's
+    keep-ties stage-1 cut; keypoint-set overlap vs cv2 must not drop and
+    the measured overlap numbers document the tie-semantics deviation
+    (VERDICT r1 item 10, visual_odometry.cpp:65-67 config)."""
+    img = textured_image(rng, 240, 320)
+    orb_cv = cv2.ORB_create(1200, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE,
+                            31, 10)
+    kps_cv, _ = orb_cv.detectAndCompute(img, None)
+    cv_set = {(int(round(k.pt[0] * 4)), int(round(k.pt[1] * 4)), k.octave)
+              for k in kps_cv}
+
+    overlaps = {}
+    for keep_ties in (False, True):
+        f = detect_and_compute(
+            jnp.asarray(img), ORBConfig(retain_best_keep_ties=keep_ties))
+        valid = np.asarray(f.valid)
+        xy = np.asarray(f.xy)
+        oct_ = np.asarray(f.octave)
+        ours = {(int(round(xy[j, 0] * 4)), int(round(xy[j, 1] * 4)),
+                 int(oct_[j])) for j in np.nonzero(valid)[0]}
+        overlaps[keep_ties] = len(ours & cv_set) / max(len(cv_set), 1)
+
+    assert overlaps[False] > 0.9
+    # keep-ties must not lose overlap vs the truncating cut
+    assert overlaps[True] >= overlaps[False] - 0.01
+
+
+@pytest.mark.slow
 def test_orb_fixed_shapes_and_masking(rng):
     """Blank image: all slots invalid, all shapes still fixed."""
     img = jnp.zeros((96, 128), dtype=jnp.float32)

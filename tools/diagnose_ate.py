@@ -22,6 +22,11 @@ import numpy as np
 
 import cv2
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 
 from tpu_vo.configs import VOConfig
@@ -83,8 +88,18 @@ def our_estimate(p1, p2, K, cfg, key):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", choices=["planes", "corridor"],
+                    default="planes")
+    ap.add_argument("--frames", type=int, default=30)
+    args = ap.parse_args()
+
     w, h = 640, 480
-    frames, Rs, ts, K = synthetic.make_sequence(n_frames=30, width=w, height=h)
+    gen = (synthetic.make_corridor_sequence if args.scene == "corridor"
+           else synthetic.make_sequence)
+    frames, Rs, ts, K = gen(n_frames=args.frames, width=w, height=h)
     cfg = VOConfig(image_width=w, image_height=h)
     Kf = np.asarray(K, np.float64)
 

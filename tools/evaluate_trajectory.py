@@ -17,22 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def umeyama_alignment(src: np.ndarray, dst: np.ndarray, with_scale: bool):
-    """Similarity transform minimizing ||dst - (s R src + t)||^2."""
-    mu_s = src.mean(axis=0)
-    mu_d = dst.mean(axis=0)
-    xs = src - mu_s
-    xd = dst - mu_d
-    cov = xd.T @ xs / len(src)
-    U, D, Vt = np.linalg.svd(cov)
-    S = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
-        S[2, 2] = -1
-    R = U @ S @ Vt
-    var_s = (xs ** 2).sum() / len(src)
-    s = float(np.trace(np.diag(D) @ S) / var_s) if with_scale else 1.0
-    t = mu_d - s * R @ mu_s
-    return s, R, t
+from tpu_vo.utils.metrics import umeyama_alignment  # noqa: E402
 
 
 def evaluate(est_t, gt_t, est_R=None, gt_R=None, align="none"):

@@ -23,15 +23,25 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene", choices=["corridor", "planes"],
+                   default="corridor",
+                   help="corridor = well-conditioned forward motion "
+                        "(strong parallax; the accuracy benchmark scene); "
+                        "planes = the legacy weak-parallax two-plane scene")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
 
     from tpu_vo.geometry.se3 import Pose
     from tpu_vo.io.trajectory_io import save_trajectory_tum
-    from tpu_vo.utils.synthetic import make_sequence, write_dataset
+    from tpu_vo.utils.synthetic import (
+        make_corridor_sequence,
+        make_sequence,
+        write_dataset,
+    )
 
-    frames, Rs, ts, K = make_sequence(
+    gen = make_corridor_sequence if args.scene == "corridor" else make_sequence
+    frames, Rs, ts, K = gen(
         n_frames=args.frames, width=args.width, height=args.height,
         seed=args.seed,
     )

@@ -34,6 +34,13 @@ class ORBConfig:
     # global top-N cut. Data-dependent keypoint counts do not jit; we keep
     # fixed-size slots with validity masks instead.
     per_level_capacity: int = 4096
+    # OpenCV's KeyPointsFilter::retainBest keeps score TIES at the cutoff
+    # (so its stage-1 FAST cut can pass more than 2n candidates to Harris
+    # ranking; integer FAST scores tie often). False (default) truncates to
+    # exactly 2n — cheaper, and the Harris re-ranking makes the final sets
+    # nearly identical (overlap measured in tests/test_features.py). True
+    # emulates the keep-ties cut within a 4n fixed candidate capacity.
+    retain_best_keep_ties: bool = False
 
     @property
     def harris_block_size(self) -> int:

@@ -76,17 +76,28 @@ def _border_mask(h: int, w: int, border: int) -> jax.Array:
 
 
 def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
-    """FAST -> border -> top-2n by FAST -> Harris -> top-n; plus angles."""
+    """FAST -> border -> top-2n by FAST -> Harris -> top-n; plus angles.
+
+    With cfg.retain_best_keep_ties, the stage-1 cut keeps FAST-score ties
+    at the 2n-th value like cv::KeyPointsFilter::retainBest (orb.cpp uses
+    retainBest(2n) before Harris ranking), within a fixed 4n candidate
+    capacity.
+    """
     h, w = lvl.shape
     score, keep = fast.detect(lvl, cfg.fast_threshold)
     keep = keep & _border_mask(h, w, cfg.edge_threshold)
     masked = jnp.where(keep, score, 0.0)
 
-    k2 = min(2 * n_level, h * w)
+    k2 = min((4 if cfg.retain_best_keep_ties else 2) * n_level, h * w)
     v2, idx2 = jax.lax.top_k(masked.reshape(-1), k2)
     ys2 = idx2 // w
     xs2 = idx2 % w
     cand_ok = v2 > 0.0
+    if cfg.retain_best_keep_ties:
+        # retainBest(2n): threshold = the 2n-th best score; keep all >= it
+        # (ties included, capacity-limited to 4n).
+        n2 = min(2 * n_level, h * w)
+        cand_ok = cand_ok & (v2 >= v2[n2 - 1])
 
     resp = harris.harris_at(lvl, ys2, xs2)
     resp = jnp.where(cand_ok, resp, -jnp.inf)

@@ -157,7 +157,13 @@ def refine_window(x1: jax.Array, x2: jax.Array, mask: jax.Array,
     correspondences, so the whole window refines in parallel and the
     chained trajectory is rebuilt by the caller's associative scan.
     """
-    out = jax.vmap(
-        lambda a, b, m, R0, t0: refine_relative_pose_lm(a, b, m, R0, t0, iters)
-    )(x1, x2, mask, R_rel, t_rel)
+    # Full-f32 matmuls: the LM normal equations (J^T J, 6x6 solve) are
+    # numerically fragile under the TPU's default bf16-reduced matmul
+    # passes — measured to *worsen* trajectories at default precision
+    # (see pipeline/step.py estimate_pair for the same issue in RANSAC).
+    with jax.default_matmul_precision("highest"):
+        out = jax.vmap(
+            lambda a, b, m, R0, t0: refine_relative_pose_lm(
+                a, b, m, R0, t0, iters)
+        )(x1, x2, mask, R_rel, t_rel)
     return WindowRefineResult(out.R, out.t, out.cost, out.improved)

@@ -129,14 +129,21 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
     x2n = normalize_points(p2, K)
     thr = pixel_threshold_to_normalized(rcfg.threshold_px, K)
 
-    res = find_essential_ransac(
-        x1n, x2n, mask, key, thr,
-        max_iters=rcfg.max_iters,
-        use_five_point=rcfg.use_five_point,
-    )
-    rec = recover_pose_from_essential(
-        res.E, x1n, x2n, res.inliers, rcfg.distance_thresh
-    )
+    # Full-f32 matmuls for the estimation linear algebra: the TPU default
+    # (bf16-reduced passes) corrupts the 5-point nullspace / refit Gram
+    # matrices enough to cause sporadic multi-degree rotation errors
+    # (measured: mean rot err 0.77deg with spikes to 4.4deg at default
+    # precision vs 0.20deg spike-free at highest; cv2 reference is 0.23).
+    # Scoped here so the frontend/matching keep their fast bf16 paths.
+    with jax.default_matmul_precision("highest"):
+        res = find_essential_ransac(
+            x1n, x2n, mask, key, thr,
+            max_iters=rcfg.max_iters,
+            use_five_point=rcfg.use_five_point,
+        )
+        rec = recover_pose_from_essential(
+            res.E, x1n, x2n, res.inliers, rcfg.distance_thresh
+        )
 
     # estimate_relative_pose's verdict (visual_odometry.cpp:189,218,270-277)
     attempted = n_good >= rcfg.min_matches_for_pose

@@ -1,0 +1,94 @@
+"""Trajectory accuracy metrics shared by benchmarks and e2e tests.
+
+The reference publishes no metrics (SURVEY.md §6); these implement the
+BASELINE.md accuracy targets: RMS ATE against the OpenCV reference
+trajectory and against ground truth (with the monocular fixed-scale-0.3
+convention of visual_odometry.cpp:352 matched to GT by mean step length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ate_rmse(traj_a: np.ndarray, traj_b: np.ndarray) -> float:
+    """RMS absolute trajectory error between (T, 3) center trajectories."""
+    traj_a = np.asarray(traj_a, np.float64)
+    traj_b = np.asarray(traj_b, np.float64)
+    assert traj_a.shape == traj_b.shape
+    return float(np.sqrt(np.mean(np.sum((traj_a - traj_b) ** 2, axis=1))))
+
+
+def extent(traj: np.ndarray) -> float:
+    """Diagonal of the trajectory's axis-aligned bounding box."""
+    traj = np.asarray(traj, np.float64)
+    return float(np.linalg.norm(traj.max(axis=0) - traj.min(axis=0))) or 1.0
+
+
+def scale_matched_gt(gt_t: np.ndarray, per_step: float = 0.3) -> np.ndarray:
+    """Rescale a ground-truth (T, 3) center trajectory to the pipeline's
+    fixed per-step displacement convention (scale 0.3 per accepted frame,
+    visual_odometry.cpp:352-353) so ATE against estimated trajectories is
+    meaningful despite the unobservable monocular scale."""
+    gt_t = np.asarray(gt_t, np.float64)
+    steps = np.linalg.norm(np.diff(gt_t, axis=0), axis=1)
+    mean_step = float(steps.mean()) or 1.0
+    return gt_t * (per_step / mean_step)
+
+
+def umeyama_alignment(src: np.ndarray, dst: np.ndarray,
+                      with_scale: bool = True):
+    """Similarity transform (s, R, t) minimizing ||dst - (s R src + t)||²."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_s = (xs ** 2).sum() / len(src)
+    s = float(np.trace(np.diag(D) @ S) / var_s) if with_scale else 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse_aligned(traj_a: np.ndarray, traj_b: np.ndarray,
+                     with_scale: bool = True) -> float:
+    """RMS ATE after Umeyama similarity alignment of a onto b — the
+    standard monocular-VO evaluation protocol (scale is unobservable)."""
+    s, R, t = umeyama_alignment(traj_a, traj_b, with_scale)
+    aligned = (s * (R @ np.asarray(traj_a, np.float64).T)).T + t
+    return ate_rmse(aligned, traj_b)
+
+
+def trajectory_report(our_traj: np.ndarray,
+                      ref_traj: np.ndarray | None = None,
+                      gt_t: np.ndarray | None = None) -> dict:
+    """Round-tripped accuracy dict for benchmark results.
+
+    Reports raw (both-start-at-identity, shared fixed scale) and
+    Umeyama-aligned ATE vs the OpenCV reference trajectory and vs ground
+    truth, each also relative to trajectory extent.
+    """
+    out: dict = {}
+    if ref_traj is not None:
+        ext = extent(ref_traj)
+        ate = ate_rmse(our_traj, ref_traj)
+        out["ate_vs_reference"] = round(ate, 4)
+        out["ate_rel_extent"] = round(ate / ext, 4)
+        out["ate_vs_reference_aligned_rel"] = round(
+            ate_rmse_aligned(our_traj, ref_traj) / ext, 4)
+    if gt_t is not None:
+        gts = scale_matched_gt(gt_t)
+        ext = extent(gts)
+        out["ate_vs_gt"] = round(ate_rmse(our_traj, gts), 4)
+        out["ate_vs_gt_rel"] = round(ate_rmse(our_traj, gts) / ext, 4)
+        if ref_traj is not None:
+            out["ref_ate_vs_gt_rel"] = round(
+                ate_rmse(ref_traj, gts) / ext, 4)
+    return out

@@ -151,12 +151,12 @@ def make_corridor_sequence(
     width: int = 640,
     height: int = 480,
     seed: int = 0,
-    step_z: float = 0.5,
+    step_z: float = 0.8,
     sway_x: float = 0.15,
     yaw_amp_deg: float = 1.5,
-    corridor_len: float = 60.0,
-    half_w: float = 2.0,
-    half_h: float = 1.5,
+    corridor_len: float | None = None,
+    half_w: float = 2.5,
+    half_h: float = 2.0,
 ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray], np.ndarray]:
     """Forward motion down a textured 4-wall corridor with an end cap.
 
@@ -171,6 +171,9 @@ def make_corridor_sequence(
     as make_sequence (camera->world, pose.h:26-31; K rule
     visual_odometry.cpp:90-98).
     """
+    if corridor_len is None:
+        # keep >= ~25 units of corridor ahead of the final camera position
+        corridor_len = step_z * n_frames + 25.0
     rng = np.random.default_rng(seed)
     K = np.array([[width, 0, width / 2.0],
                   [0, width, height / 2.0],
@@ -184,8 +187,10 @@ def make_corridor_sequence(
     Kss[:2] *= ss
     wss, hss = width * ss, height * ss
 
-    # Wall textures: long axis along z (u), short axis across (v).
-    zres, vres = 6144, 768
+    # Wall textures: long axis along z (u), short axis across (v). Keep
+    # ~100 texture px per world unit so close-range walls stay sharp.
+    zres = int(np.clip(corridor_len * 100, 2048, 16384))
+    vres = 768
     def wall_tex():
         # (rows=vres, cols=zres): texture u (the long/z axis) is the
         # warpPerspective x-coordinate, so z runs along columns.

@@ -138,15 +138,24 @@ def run_epipolar_viewer(left, right, F, convention="opencv_0based",
                         window_name: str = "Epipolar GUI") -> int:
     """Interactive viewer when a GUI backend (cv2 + display) exists.
 
-    Mirrors run_epipolar_viewer (epipolar_viewer.h:279-307): left-click in
-    either image draws the point + epipolar line in the other; r/g/b/k set
-    color, +/- thickness, ESC exits. Returns 0 on success, 1 on error.
+    Mirrors run_epipolar_viewer (epipolar_viewer.h:279-307) and the mouse
+    protocol of handleMouse (:233-255): LBUTTONDOWN inside either image
+    selects that side as active (left image -> l2 = F x1 in the right,
+    right image -> l1 = F^T x2 in the left); dragging updates only while
+    the cursor stays inside the active side; LBUTTONUP clears the active
+    side. (The reference has no right-button channel — the F^T direction
+    is chosen by which image is clicked.) Keys r/g/b/k set color, +/-
+    thickness, ESC exits. Returns 0 on success, 1 on error.
     """
     try:
         import cv2
 
-        state = {"color": (255, 0, 0), "thick": 2, "clicks": []}
-        wL = np.asarray(left).shape[1]
+        state = {"color": (255, 0, 0), "thick": 2, "clicks": [],
+                 "active": None}
+        L = np.asarray(left)
+        R = np.asarray(right)
+        hL, wL = L.shape[:2]
+        hR, wR = R.shape[:2]
 
         def redraw():
             canvas = render_epipolar_pair(
@@ -154,12 +163,24 @@ def run_epipolar_viewer(left, right, F, convention="opencv_0based",
                 normalize_F, state["color"], state["thick"])
             cv2.imshow(window_name, canvas[..., ::-1])
 
+        def side_of(x, y):
+            if 0 <= x < wL and 0 <= y < hL:
+                return "left"
+            if wL <= x < wL + wR and 0 <= y < hR:
+                return "right"
+            return None
+
         def on_mouse(event, x, y, flags, _):
-            if event == cv2.EVENT_LBUTTONDOWN or (
-                event == cv2.EVENT_MOUSEMOVE
-                and flags & cv2.EVENT_FLAG_LBUTTON
-            ):
-                side = "left" if x < wL else "right"
+            if event == cv2.EVENT_LBUTTONDOWN:
+                state["active"] = side_of(x, y)
+            elif event == cv2.EVENT_LBUTTONUP:
+                state["active"] = None
+                return
+            elif not (event == cv2.EVENT_MOUSEMOVE
+                      and flags & cv2.EVENT_FLAG_LBUTTON):
+                return
+            side = state["active"]
+            if side is not None and side_of(x, y) == side:
                 state["clicks"].append(
                     (side, x if side == "left" else x - wL, y))
                 redraw()

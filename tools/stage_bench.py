@@ -9,10 +9,13 @@ real TPU (KITTI-style 1241x376, 8 levels, 1200 kps). Run:
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

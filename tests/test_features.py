@@ -199,3 +199,35 @@ def test_orb_fixed_shapes_and_masking(rng):
     assert f.desc.shape == (1200, 32)
     assert not bool(np.asarray(f.valid).any())
     assert np.all(np.asarray(f.desc) == 0)
+
+
+def test_patch_backend_bit_exact_vs_dense(rng):
+    """The patch-centric backend (features/patches.py) must be bit-exact
+    vs the dense formulation: ic_angles_prefix orientation, full-image
+    gaussian_blur, and brief.descriptor_bits sampling."""
+    import jax
+    from tpu_vo.features import patches
+    from tpu_vo.image.filters import gaussian_blur
+
+    img = jnp.asarray(
+        np.round(rng.random((200, 300)) * 255).astype(np.float32))
+    n = 64
+    ys = jnp.asarray(rng.integers(31, 200 - 31, size=n).astype(np.int32))
+    xs = jnp.asarray(rng.integers(31, 300 - 31, size=n).astype(np.int32))
+
+    ang_ref = orientation.ic_angles_prefix(img, ys, xs)
+    bits_ref = brief.descriptor_bits(gaussian_blur(img), ys, xs, ang_ref)
+
+    raw = patches.extract_patches(img, ys, xs)
+    ang = patches.angles_from_patches(raw)
+    bits = patches.descriptor_bits_from_patches(raw, ang)
+
+    assert np.array_equal(np.asarray(ang), np.asarray(ang_ref))
+    assert np.array_equal(np.asarray(bits), np.asarray(bits_ref))
+
+    # blurred patch centers == dense-blur crops
+    bp = patches.blur_patches(raw)
+    crops = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(
+            gaussian_blur(img), (y - 18, x - 18), (37, 37)))(ys, xs)
+    assert np.array_equal(np.asarray(bp), np.asarray(crops))

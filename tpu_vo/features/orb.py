@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_vo.configs import ORBConfig
-from tpu_vo.features import brief, fast, harris, orientation
+from tpu_vo.features import brief, fast, harris, orientation, patches
 from tpu_vo.image.filters import gaussian_blur
 from tpu_vo.image.pyramid import build_pyramid, level_sizes
 
@@ -106,8 +106,7 @@ def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
     ys = ys2[sel]
     xs = xs2[sel]
     valid = jnp.isfinite(v1)
-    ang = orientation.ic_angles_prefix(lvl, ys, xs)
-    return ys, xs, jnp.where(valid, v1, 0.0), ang, valid
+    return ys, xs, jnp.where(valid, v1, 0.0), valid
 
 
 def detect_and_compute(img: jax.Array,
@@ -117,11 +116,13 @@ def detect_and_compute(img: jax.Array,
     Output slots are ordered by pyramid level (OpenCV emits keypoints in
     the same level order); within a level, by descending Harris response.
 
-    Detection/ranking/orientation run per level (static Python loop, fixed
-    shapes); the blurred levels are then flattened into one 1-D buffer so
-    all descriptor samples land in a single gather — one big fused gather
-    is measurably faster on TPU than 8 per-level ones, with no padded-
-    canvas pixel waste. Bit-identical to the per-level descriptor path.
+    Detection/ranking run per level (static Python loop, fixed shapes);
+    orientation, Gaussian blur and the steered rBRIEF sampling all come
+    from ONE (k1, 43, 43) window extraction per level via the
+    patch-centric backend (features/patches.py) — random scalar gathers
+    and full-frame cumsums/blurs are the TPU's weakest primitives, and
+    profiling showed them to be ~75% of the frontend. Bit-identical to
+    the dense formulation (tests/test_features.py::test_patch_backend).
     """
     img = img.astype(jnp.float32)
     levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
@@ -129,11 +130,14 @@ def detect_and_compute(img: jax.Array,
                                  cfg.scale_factor)
 
     xs_all, ys_all, resp_all, ang_all, valid_all = [], [], [], [], []
-    oct_all, size_all, scale_all, blur_all, shapes = [], [], [], [], []
+    oct_all, size_all, scale_all, bits_all = [], [], [], []
     for level, (lvl, n_level) in enumerate(zip(levels, budgets)):
         if n_level <= 0:
             continue
-        ys, xs, resp, ang, valid = _select_level_keypoints(lvl, n_level, cfg)
+        ys, xs, resp, valid = _select_level_keypoints(lvl, n_level, cfg)
+        raw = patches.extract_patches(lvl, ys, xs)
+        ang = patches.angles_from_patches(raw)
+        bits_all.append(patches.descriptor_bits_from_patches(raw, ang))
         scale = float(cfg.scale_factor ** level)
         xs_all.append(xs)
         ys_all.append(ys)
@@ -144,22 +148,8 @@ def detect_and_compute(img: jax.Array,
         size_all.append(jnp.full(xs.shape, cfg.patch_size * scale,
                                  dtype=jnp.float32))
         scale_all.append(jnp.full(xs.shape, scale, dtype=jnp.float32))
-        blur_all.append(gaussian_blur(lvl))
-        shapes.append(lvl.shape)
 
-    # Single flat descriptor gather across all levels.
-    flat = jnp.concatenate([b.ravel() for b in blur_all])
-    bases = np.cumsum([0] + [h_ * w_ for (h_, w_) in shapes])[:-1]
-    idx_parts = []
-    for (h_, w_), ys, xs, ang, base in zip(shapes, ys_all, xs_all, ang_all,
-                                           bases):
-        dy, dx = brief.steered_offsets(ang)
-        sy = jnp.clip(ys[:, None] + dy, 0, h_ - 1)
-        sx = jnp.clip(xs[:, None] + dx, 0, w_ - 1)
-        idx_parts.append(int(base) + sy * w_ + sx)
-    idx = jnp.concatenate(idx_parts)         # (N, 512)
-    vals = jnp.take(flat, idx)
-    bits = vals[:, 0::2] < vals[:, 1::2]     # (N, 256)
+    bits = jnp.concatenate(bits_all)         # (N, 256)
 
     xs = jnp.concatenate(xs_all)
     ys = jnp.concatenate(ys_all)

@@ -1,0 +1,116 @@
+"""Patch-centric ORB backend: orientation + blur + steered rBRIEF from one
+per-keypoint window extraction.
+
+Round-1 profiling (tools/device_time.py, honest device-side fences) showed
+the frontend's real cost is NOT where host-timed numbers pointed: the
+(N, 512) random scalar descriptor gather costs ~5.0 ms/frame and the
+prefix-sum orientation ~2.4 ms/frame on v5e — together 75%+ of
+detect_and_compute. Random scalar gathers and full-frame cumsums are the
+two worst-fit primitives for the TPU's vector/matrix units.
+
+This module replaces both with one (N, 43, 43) window extraction per
+keypoint (vmapped dynamic_slice — measured 4x faster than any gather
+formulation) followed by in-register math:
+
+  raw patch (43x43, radius 21)
+    ├─ center 31x31 → intensity-centroid moments (masked einsum) → angle
+    ├─ separable 7-tap Gaussian fold (exact gaussian_blur semantics on
+    │  the interior) → blurred patch (37x37, radius 18)
+    └─ steered rBRIEF sampling as separable ONE-HOT MXU matmuls:
+         vals[n,k] = Σ_r Σ_c onehot(ly)[n,k,r]·blur[n,r,c]·onehot(lx)[n,k,c]
+
+All arithmetic is bit-exact vs the dense path (tests/test_features.py):
+  - moments: f32 sums of integral values bounded by 2.8e6 < 2^24;
+  - blur: identical float32 left-fold tap order, interior-only (keypoints
+    sit >= edgeThreshold=31 px from the border, so no reflect101 padding
+    is ever exercised: max |rotated offset| = round(18.38) = 18, +3 blur);
+  - one-hot sampling: products are exactly 0 or the sample value; blurred
+    values are integers <= 255 so bf16 MXU inputs are exact.
+
+Reference parity: cv::ORB's ICAngles + GaussianBlur + computeOrbDescriptors
+(the descriptor stage of visual_odometry.cpp:113's detectAndCompute).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_vo.features import brief, orientation
+from tpu_vo.image.filters import gaussian_kernel_1d
+
+SAMPLE_RADIUS = 18      # max |cvRound(rotated pattern offset)| (norm 18.385)
+BLUR_PAD = 3            # GaussianBlur ksize=7
+RAW_RADIUS = SAMPLE_RADIUS + BLUR_PAD   # 21
+RAW_SIZE = 2 * RAW_RADIUS + 1           # 43
+BLUR_SIZE = 2 * SAMPLE_RADIUS + 1       # 37
+_MOM_LO = RAW_RADIUS - orientation.HALF_PATCH   # 6
+_MOM_HI = _MOM_LO + 2 * orientation.HALF_PATCH + 1  # 37
+
+
+def extract_patches(lvl: jax.Array, ys: jax.Array, xs: jax.Array,
+                    radius: int = RAW_RADIUS) -> jax.Array:
+    """(N, 2r+1, 2r+1) windows centered at integer keypoints.
+
+    vmapped dynamic_slice: measured ~2.6x faster than advanced-index
+    gathers on v5e and clamps at borders (invalid padded slots carry
+    garbage that downstream validity masks discard).
+    """
+    size = 2 * radius + 1
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(lvl, (y - radius, x - radius),
+                                     (size, size))
+
+    return jax.vmap(one)(ys, xs)
+
+
+def angles_from_patches(raw: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation from (N, 43, 43) raw patches.
+
+    Bit-exact vs orientation.ic_angles_prefix for interior keypoints: the
+    circular-mask moment sums of integral pixel values stay below 2^24 so
+    float32 accumulation in any order is exact.
+    """
+    p31 = raw[:, _MOM_LO:_MOM_HI, _MOM_LO:_MOM_HI]
+    ku = jnp.asarray(orientation._KU)
+    kv = jnp.asarray(orientation._KV)
+    m10 = jnp.einsum("nrc,rc->n", p31, ku)
+    m01 = jnp.einsum("nrc,rc->n", p31, kv)
+    return orientation.fast_atan2_deg(m01, m10)
+
+
+def blur_patches(raw: jax.Array, ksize: int = 7,
+                 sigma: float = 2.0) -> jax.Array:
+    """(N, 37, 37) Gaussian-blurred patch centers, exact gaussian_blur
+    semantics: same float32 kernel, same left-fold tap order, final
+    round+clip to the integer grid."""
+    k = gaussian_kernel_1d(ksize, sigma).astype(np.float32)
+    n = raw.shape[-1] - 2 * BLUR_PAD
+    x = raw.astype(jnp.float32)
+    x = sum(x[:, :, i:i + n] * jnp.float32(k[i]) for i in range(ksize))
+    x = sum(x[:, i:i + n, :] * jnp.float32(k[i]) for i in range(ksize))
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
+
+
+def sample_steered(blurred: jax.Array, angles_deg: jax.Array) -> jax.Array:
+    """(N, 512) steered rBRIEF sample values from (N, 37, 37) blurred
+    patches via separable one-hot matmuls (MXU path; exact)."""
+    dy, dx = brief.steered_offsets(angles_deg)      # (N, 512) in [-18, 18]
+    ly = dy + SAMPLE_RADIUS
+    lx = dx + SAMPLE_RADIUS
+    r = jnp.arange(BLUR_SIZE, dtype=jnp.int32)
+    oh_r = (ly[:, :, None] == r).astype(jnp.bfloat16)   # (N, 512, 37)
+    oh_c = (lx[:, :, None] == r).astype(jnp.bfloat16)
+    rows = jnp.einsum("nkr,nrc->nkc", oh_r, blurred.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("nkc,nkc->nk", rows, oh_c.astype(jnp.float32))
+
+
+def descriptor_bits_from_patches(raw: jax.Array,
+                                 angles_deg: jax.Array) -> jax.Array:
+    """(N, 256) descriptor bits from raw patches + angles."""
+    vals = sample_steered(blur_patches(raw), angles_deg)
+    return vals[:, 0::2] < vals[:, 1::2]

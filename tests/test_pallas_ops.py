@@ -54,3 +54,63 @@ def test_orientation_prefix_equals_gather(rng):
     a = np.asarray(orientation.ic_angles_gather(img, ys, xs))
     b = np.asarray(orientation.ic_angles_prefix(img, ys, xs))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_fused_select_maps_matches_xla_interpret(rng):
+    """Fused selection kernel (FAST+NMS+border+Harris+pack+pool): the
+    unpacked score map and the dense Harris map are bit-identical to the
+    XLA formulation. Candidate tie ORDER at equal FAST scores differs from
+    lax.top_k's (ours is deterministic ascending-index; lax.top_k's is
+    unspecified) — equivalence is at the map level."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_vo.features import harris
+    from tpu_vo.features.orb import _border_mask
+    from tpu_vo.ops.select_pallas import fused_select_maps
+
+    h, w = 96, 200
+    img = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        packed, hmap, idx_bits = fused_select_maps(img, 10, 31)
+
+    score, keep = fast.fast_score_map(img, 10)
+    keep = fast.nonmax_suppress(score, keep) & _border_mask(h, w, 31)
+    masked = np.where(np.asarray(keep), np.asarray(score), 0.0)
+    href = np.asarray(harris.harris_response_map(img))
+
+    # unpack the pooled (score, idx) map back into a dense score map
+    m = h * w
+    rec = np.zeros((h, w), np.float32)
+    pk = np.asarray(packed)
+    nz = pk > 0
+    idx = (m - 1) - (pk[nz] & ((1 << idx_bits) - 1))
+    rec[idx // w, idx % w] = pk[nz] >> idx_bits
+    np.testing.assert_array_equal(rec, masked)
+
+    inner = np.zeros((h, w), bool)
+    inner[31:-31, 31:-31] = True
+    got = np.asarray(hmap)[:h, :w]
+    # bit-exact on TPU (verified on-device); the CPU interpreter contracts
+    # a*b-c*c with FMA differently from the XLA CPU path -> ~1 ulp
+    np.testing.assert_allclose(got[inner], href[inner], rtol=2e-6,
+                               atol=1e-12)
+
+
+def test_extract_patches_pallas_matches_xla_interpret(rng):
+    """DMA patch-extraction kernel: rows [:43] bit-identical to the
+    vmapped-dynamic_slice formulation for interior keypoints."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_vo.features.patches import extract_patches
+    from tpu_vo.ops.patch_pallas import extract_patches_pallas
+
+    h, w = 96, 300
+    img = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.float32))
+    n = 17
+    ys = jnp.asarray(rng.integers(31, h - 31, n), dtype=jnp.int32)
+    xs = jnp.asarray(rng.integers(31, w - 31, n), dtype=jnp.int32)
+    ref = np.asarray(extract_patches(img, ys, xs))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(extract_patches_pallas(img, ys, xs))
+    np.testing.assert_array_equal(got[:, :43, :], ref)

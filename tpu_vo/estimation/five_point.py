@@ -84,17 +84,42 @@ def _mul21(p: jax.Array, q: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _nullspace_basis(x1: jax.Array, x2: jax.Array) -> jax.Array:
-    """4-dim nullspace of the 5x9 epipolar system, as (4, 3, 3) matrices."""
+    """4-dim nullspace of the 5x9 epipolar system, as (4, 3, 3) matrices.
+
+    Computed by 5 unrolled Householder reflections on A^T (9x5) — the
+    orthogonal complement of A's row space is spanned by Q e_5..e_8, i.e.
+    the last 4 identity columns pushed back through the reflectors. All
+    branch-free vector math: profiling showed the previous batched 9x9
+    `eigh` (iterative, LAPACK-style) alone cost 3.2 ms/pair on v5e — 75%
+    of the whole RANSAC stage. Any orthonormal basis of the same subspace
+    is equivalent downstream (the solver re-parameterizes over the basis).
+    """
+    dtype = x1.dtype
     u1, v1 = x1[..., 0], x1[..., 1]
     u2, v2 = x2[..., 0], x2[..., 1]
     one = jnp.ones_like(u1)
     A = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
     )  # (5, 9)
-    AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    basis = vecs[:, :4].T  # 4 smallest eigenvectors
-    return basis.reshape(4, 3, 3)
+    M = A.T                                   # (9, 5)
+    rows = jnp.arange(9)
+
+    vs = []
+    for k in range(5):
+        x = jnp.where(rows >= k, M[:, k], 0.0)          # active part
+        xk = x[k]
+        nrm = jnp.sqrt(jnp.sum(x * x))
+        sign = jnp.where(xk >= 0, 1.0, -1.0).astype(dtype)
+        v = x + sign * nrm * (rows == k).astype(dtype)
+        vnorm2 = jnp.maximum(jnp.sum(v * v), jnp.asarray(1e-30, dtype))
+        M = M - (2.0 / vnorm2) * jnp.outer(v, v @ M)
+        vs.append((v, vnorm2))
+
+    # basis_j = H1 ... H5 e_{5+j}  (apply reflectors in reverse order)
+    B = (rows[:, None] == jnp.arange(5, 9)[None, :]).astype(dtype)  # (9, 4)
+    for v, vnorm2 in reversed(vs):
+        B = B - (2.0 / vnorm2) * jnp.outer(v, v @ B)
+    return B.T.reshape(4, 3, 3)
 
 
 def _constraint_matrix(basis: jax.Array) -> jax.Array:
@@ -126,24 +151,32 @@ def _constraint_matrix(basis: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _gauss_jordan(A: jax.Array) -> jax.Array:
-    """Reduce (10, 20) to [I | M] with partial pivoting; jittable."""
-    n = A.shape[0]
+    """Reduce (10, 20) to [I | M] with partial pivoting; jittable.
 
-    def body(i, A):
+    Unrolled (n=10 is static) and scatter-free: row swap / pivot divide /
+    elimination are expressed as masked broadcasts. The previous fori_loop
+    with .at[].set() row scatters cost ~1 ms/pair batched on v5e; this
+    form fuses to a short chain of elementwise ops.
+    """
+    n = A.shape[0]
+    rows = jnp.arange(n)
+    for i in range(n):
         col = A[:, i]
-        rows = jnp.arange(n)
         cand = jnp.where(rows >= i, jnp.abs(col), -1.0)
         p = jnp.argmax(cand)
-        Ai, Ap = A[i], A[p]
-        A = A.at[i].set(Ap).at[p].set(Ai)
-        piv = A[i, i]
+        ei = (rows == i).astype(A.dtype)[:, None]
+        ep = (rows == p).astype(A.dtype)[:, None]
+        Ai = A[i]
+        Ap = (ep * A).sum(axis=0)
+        # swap rows i and p
+        A = A + ei * (Ap - Ai)[None, :] + ep * (Ai - Ap)[None, :]
+        piv = Ap[i]
         safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
-        Ai = A[i] / safe
-        A = A.at[i].set(Ai)
-        factors = A[:, i].at[i].set(0.0)
-        return A - factors[:, None] * Ai[None, :]
-
-    return jax.lax.fori_loop(0, n, body, A)
+        Anew_i = Ap / safe
+        A = A * (1.0 - ei) + ei * Anew_i[None, :]
+        factors = jnp.where(rows == i, 0.0, A[:, i])
+        A = A - factors[:, None] * Anew_i[None, :]
+    return A
 
 
 def _action_polynomials(M: jax.Array):
@@ -212,10 +245,12 @@ def _poly_roots(coeffs: jax.Array, iters: int = 100):
     )
     cc = cb.astype(cdtype)
 
+    eye = jnp.eye(n, dtype=cdtype)
+
     def body(_, u):
         pu = jnp.polyval(cc, u)
-        diff = u[:, None] - u[None, :]
-        diff = diff.at[jnp.diag_indices(n)].set(1.0)
+        # diagonal forced to 1 via masked add (no per-iteration scatter)
+        diff = (u[:, None] - u[None, :]) * (1.0 - eye) + eye
         denom = jnp.prod(diff, axis=1)
         denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
         step = pu / denom

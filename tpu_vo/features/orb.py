@@ -84,22 +84,45 @@ def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
     capacity.
     """
     h, w = lvl.shape
-    score, keep = fast.detect(lvl, cfg.fast_threshold)
-    keep = keep & _border_mask(h, w, cfg.edge_threshold)
-    masked = jnp.where(keep, score, 0.0)
-
     k2 = min((4 if cfg.retain_best_keep_ties else 2) * n_level, h * w)
-    v2, idx2 = jax.lax.top_k(masked.reshape(-1), k2)
-    ys2 = idx2 // w
-    xs2 = idx2 % w
-    cand_ok = v2 > 0.0
+
+    if fast._use_pallas():
+        # Fused Pallas pass: FAST+NMS+border+Harris+packed 2x1 pool in one
+        # HBM round-trip; top_k then sorts a quarter-size int32 map with
+        # identical ordering (score desc, index asc) — see ops/select_pallas.
+        from tpu_vo.ops.select_pallas import fused_select_maps
+
+        packed, harris_map, idx_bits = fused_select_maps(
+            lvl, cfg.fast_threshold, cfg.edge_threshold)
+        hp2, wp = packed.shape
+        pooled = packed.reshape(hp2, wp // 2, 2).max(-1).reshape(-1)
+        k_red = min(k2, pooled.shape[0])
+        v, _ = jax.lax.top_k(pooled, k_red)
+        if k_red < k2:
+            v = jnp.pad(v, (0, k2 - k_red))
+        v2 = (v >> idx_bits).astype(jnp.float32)
+        idx2 = jnp.where(v > 0,
+                         jnp.int32(h * w - 1) - (v & ((1 << idx_bits) - 1)),
+                         0)
+        ys2 = idx2 // w
+        xs2 = idx2 % w
+        cand_ok = v2 > 0.0
+        resp = harris_map[ys2, xs2]
+    else:
+        score, keep = fast.detect(lvl, cfg.fast_threshold)
+        keep = keep & _border_mask(h, w, cfg.edge_threshold)
+        masked = jnp.where(keep, score, 0.0)
+        v2, idx2 = jax.lax.top_k(masked.reshape(-1), k2)
+        ys2 = idx2 // w
+        xs2 = idx2 % w
+        cand_ok = v2 > 0.0
+        resp = harris.harris_at(lvl, ys2, xs2)
+
     if cfg.retain_best_keep_ties:
         # retainBest(2n): threshold = the 2n-th best score; keep all >= it
         # (ties included, capacity-limited to 4n).
         n2 = min(2 * n_level, h * w)
         cand_ok = cand_ok & (v2 >= v2[n2 - 1])
-
-    resp = harris.harris_at(lvl, ys2, xs2)
     resp = jnp.where(cand_ok, resp, -jnp.inf)
     k1 = min(n_level, k2)
     v1, sel = jax.lax.top_k(resp, k1)
@@ -135,7 +158,13 @@ def detect_and_compute(img: jax.Array,
         if n_level <= 0:
             continue
         ys, xs, resp, valid = _select_level_keypoints(lvl, n_level, cfg)
-        raw = patches.extract_patches(lvl, ys, xs)
+        if fast._use_pallas():
+            # DMA-based window extraction; rows [:43] bit-identical to
+            # extract_patches and consumers only read those rows
+            from tpu_vo.ops.patch_pallas import extract_patches_pallas
+            raw = extract_patches_pallas(lvl, ys, xs)
+        else:
+            raw = patches.extract_patches(lvl, ys, xs)
         ang = patches.angles_from_patches(raw)
         bits_all.append(patches.descriptor_bits_from_patches(raw, ang))
         scale = float(cfg.scale_factor ** level)

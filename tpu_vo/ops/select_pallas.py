@@ -1,0 +1,267 @@
+"""Fused keypoint-selection Pallas kernel: FAST + NMS + border + Harris +
+(score, index) packing + vertical max-pool in ONE pass over each level.
+
+Replaces four separate XLA passes (16-image circle stack + FAST margins,
+3x3 NMS, dense Harris, full-frame f32 flatten + top_k) whose honest
+device-side cost was ~2.1 ms/frame on v5e, dominated not by arithmetic but
+by HBM round-trips and the tiled->linear relayout that lax.top_k's 1-D
+input forces on a (H, W) f32 map.
+
+Per (ROW_TILE+8, W_pad) haloed row-band the kernel computes, entirely in
+VMEM/registers:
+
+  score   FAST-9/16 arc margins (tree-min shared across the 16 arcs)
+  keep    strict-greater 3x3 NMS & edgeThreshold border & image bounds
+  harris  OpenCV orb.cpp HarrisResponses (f32 Sobel + 7x7 box sums)
+  packed  int32 (score << idx_bits) | (m-1 - flat_idx) for kept corners
+  pool    vertical 2-row max of `packed`
+
+Packing gives descending-score / ascending-index order under a plain int32
+sort — exactly lax.top_k's stable tie behavior on the f32 map. The 2x1
+(plus a 1x2 XLA-side) max-pool is lossless: strict-greater 8-neighbor NMS
+admits at most one survivor per 2x2 block, so top-k runs over a quarter
+of the pixels in int32, with no relayout of the full-resolution map.
+
+Reference parity: the FAST/Harris stages inside cv::ORB::detectAndCompute
+(visual_odometry.cpp:113); numerics identical to features/fast.py +
+features/harris.py (tests/test_pallas_ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_vo.features.fast import CIRCLE_OFFSETS
+
+HALO = 4          # FAST circle (3) + NMS (1); Harris Sobel(1)+box(3) = 4
+ROW_TILE = 64     # even; rows of packed output per program = ROW_TILE // 2
+HARRIS_K = 0.04
+HARRIS_BLOCK = 7
+
+
+def _lane_rolls(tile, shifts):
+    """{dx: tile rolled so that [r, c] = tile[r, c+dx]} via lane rotations.
+
+    Wraparound garbage only reaches columns < HALO from either edge, all of
+    which the edgeThreshold(31) border mask kills.
+    """
+    n = tile.shape[1]
+    out = {}
+    for dx in shifts:
+        out[dx] = pltpu.roll(tile, (-dx) % n, 1) if dx else tile
+    return out
+
+
+def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
+                   w_pad, border, idx_bits):
+    """img block: (ROW_TILE + 2*HALO, w_pad) f32; outputs for the center
+    ROW_TILE rows: packed (ROW_TILE//2, w_pad) int32, harris (ROW_TILE,
+    w_pad) f32."""
+    r0 = pl.program_id(1) * ROW_TILE        # first center row (global)
+
+    raw = img_ref[0, 0]                     # (ROW_TILE + 8, w_pad) f32
+
+    # ---------------- FAST margins (f32 in-VMEM) ------------------------
+    # (bf16 would halve VMEM traffic but Mosaic's lane-rotate requires
+    # sublane counts that our 72-row haloed tiles don't satisfy in bf16;
+    # in-VMEM f32 compute costs the same VPU throughput.)
+    need_dx = sorted({dx for dx, _ in CIRCLE_OFFSETS} | {0})
+    rolled = _lane_rolls(raw, need_dx)
+
+    # scores for center rows +-1 (NMS halo): local rows [HALO-1, HALO+ROW_TILE+1)
+    s_lo, s_n = HALO - 1, ROW_TILE + 2
+    center = raw[s_lo:s_lo + s_n]
+    d = []
+    for dx, dy in CIRCLE_OFFSETS:
+        shifted = rolled[dx][s_lo + dy:s_lo + dy + s_n]
+        d.append(center - shifted)
+
+    def arc_max_min(ds, neg):
+        # sequential per-arc mins: ~2x the min-ops of the shared tree but
+        # half the peak VMEM (the tree keeps 5x16 full tiles live, which
+        # overflows the 16MB scoped VMEM at full lane width)
+        out = None
+        for k in range(16):
+            m = ds[k]
+            for j in range(1, 9):
+                m = jnp.minimum(m, ds[(k + j) % 16])
+            out = m if out is None else jnp.maximum(out, m)
+        return out
+
+    dark = arc_max_min(d, False)
+    neg = [-x for x in d]
+    bright = arc_max_min(neg, True)
+    margin = jnp.maximum(dark, bright)
+    thr = jnp.float32(threshold)
+    corner = margin > thr
+    score = jnp.where(corner, jnp.maximum(margin, thr) - 1.0, 0.0)
+    # (ROW_TILE + 2, w_pad), rows shifted by -1 vs center rows
+
+    # ---------------- strict 3x3 NMS on the center rows -----------------
+    sc_rolled = _lane_rolls(score, (-1, 0, 1))
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            neigh.append(sc_rolled[dx][1 + dy:1 + dy + ROW_TILE])
+    nmax = neigh[0]
+    for x in neigh[1:]:
+        nmax = jnp.maximum(nmax, x)
+    sc_c = score[1:1 + ROW_TILE]
+    keep = corner[1:1 + ROW_TILE]
+    keep = keep & (sc_c > nmax)
+
+    # ---------------- border / bounds mask ------------------------------
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, w_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, w_pad), 1)
+    inb = ((rows >= border) & (rows < h - border)
+           & (cols >= border) & (cols < w - border))
+    keep = keep & inb
+
+    # ---------------- Harris response (f32) -----------------------------
+    f_rolled = _lane_rolls(raw, (-1, 0, 1))
+    # Sobel for rows [HALO-3, HALO+ROW_TILE+3): box sum needs +-3
+    b_lo, b_n = HALO - 3, ROW_TILE + 6
+
+    def at(dy, dx):
+        return f_rolled[dx][b_lo + dy:b_lo + dy + b_n]
+
+    Ix = ((at(0, 1) - at(0, -1)) * 2.0
+          + (at(-1, 1) - at(-1, -1)) + (at(1, 1) - at(1, -1)))
+    Iy = ((at(1, 0) - at(-1, 0)) * 2.0
+          + (at(1, -1) - at(-1, -1)) + (at(1, 1) - at(-1, 1)))
+
+    def box7(x):
+        # accumulation order matches features/harris._box_sum exactly
+        # (f32 adds don't reassociate): +d then -d, d = 1..3, per axis
+        acc = x
+        xr = _lane_rolls(x, (-3, -2, -1, 1, 2, 3))
+        for dd in (1, 2, 3):
+            acc = acc + xr[dd] + xr[-dd]
+        out = acc[3:3 + ROW_TILE]
+        for dd in (1, 2, 3):
+            out = (out
+                   + acc[3 + dd:3 + dd + ROW_TILE]
+                   + acc[3 - dd:3 - dd + ROW_TILE])
+        return out
+
+    a = box7(Ix * Ix)
+    b = box7(Iy * Iy)
+    c = box7(Ix * Iy)
+    scale4 = jnp.float32((1.0 / ((1 << 2) * HARRIS_BLOCK * 255.0)) ** 4)
+    harris_ref[0] = (a * b - c * c - HARRIS_K * (a + b) * (a + b)) * scale4
+
+    # ---------------- pack + vertical 2-row max-pool ---------------------
+    m = h * w
+    flat_idx = rows * w + cols
+    packed = jnp.where(
+        keep,
+        (sc_c.astype(jnp.int32) << idx_bits) | (jnp.int32(m - 1) - flat_idx),
+        0,
+    )
+    p2 = packed.reshape(ROW_TILE // 2, 2, w_pad)
+    packed_ref[0] = jnp.maximum(p2[:, 0, :], p2[:, 1, :])
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(b, h, w, threshold, border, idx_bits):
+    w_pad = -(-w // 128) * 128
+    h_even = h + (h % 2)
+    h_pad = -(-h_even // ROW_TILE) * ROW_TILE
+    grid = (b, h_pad // ROW_TILE)
+
+    kernel = functools.partial(
+        _select_kernel, threshold=threshold, h=h, w=w, w_pad=w_pad,
+        border=border, idx_bits=idx_bits,
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # bands are pre-stacked with overlapping halos (BlockSpec
+            # index maps scale by the block shape, so overlapping reads
+            # cannot be expressed directly)
+            pl.BlockSpec((1, 1, ROW_TILE + 2 * HALO, w_pad),
+                         lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ROW_TILE // 2, w_pad),
+                         lambda bi, r: (bi, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROW_TILE, w_pad),
+                         lambda bi, r: (bi, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_pad // 2, w_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+        ],
+    )
+
+    n_bands = h_pad // ROW_TILE
+
+    def run(imgs):
+        # halo rows top+bottom; right lane padding to the 128 multiple;
+        # then overlapping (ROW_TILE + 2*HALO)-row bands stacked on a new
+        # axis so each grid step gets its own haloed copy.
+        imgs_p = jnp.pad(
+            imgs.astype(jnp.float32),
+            ((0, 0), (HALO, h_pad - h + HALO), (0, w_pad - w)),
+        )
+        bands = jnp.stack(
+            [jax.lax.slice_in_dim(imgs_p, r * ROW_TILE,
+                                  r * ROW_TILE + ROW_TILE + 2 * HALO, axis=1)
+             for r in range(n_bands)], axis=1)
+        return call(bands)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _make_select_fn(h, w, threshold, border, idx_bits):
+    """custom_vmap wrapper routing jax.vmap onto the kernel's batch grid
+    axis (the default Pallas vmap rule would put the batch inside the 2D
+    block and break the (8, 128) tiling)."""
+
+    @jax.custom_batching.custom_vmap
+    def f(img):
+        run = _build_call(1, h, w, threshold, border, idx_bits)
+        p, hr = run(img[None])
+        return p[0], hr[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):
+        del in_batched
+        run = _build_call(axis_size, h, w, threshold, border, idx_bits)
+        return run(img), (True, True)
+
+    return f
+
+
+def fused_select_maps(img: jax.Array, threshold: int, border: int):
+    """(packed, harris, idx_bits) for a (H, W) float32 level image.
+
+    packed: (ceil(H/2) padded, W_pad) int32 — vertically max-pooled
+      (score << idx_bits) | (m-1-idx) of NMS survivors inside the border;
+      0 where no survivor.
+    harris: (H padded, W_pad) f32 dense Harris response (valid inside the
+      border; garbage near edges/padding).
+    idx_bits decodes: score = v >> idx_bits,
+      flat_idx = (H*W - 1) - (v & ((1 << idx_bits) - 1)).
+
+    vmap-compatible over a leading frame axis.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    idx_bits = max(1, (h * w - 1).bit_length())
+    assert idx_bits + 9 <= 32, "image too large for packed selection"
+    f = _make_select_fn(h, w, int(threshold), int(border), idx_bits)
+    packed, harris = f(img)
+    return packed, harris, idx_bits

@@ -76,13 +76,74 @@ def main():
     dt = time.perf_counter() - t0
     fps = REPEATS * T / dt
 
-    print(json.dumps({
+    # --- IO-inclusive end-to-end: native PNG decode -> upload -> VO ------
+    # (the reference decodes with cv::imread inside its frame loop,
+    # main.cpp:136; here the native loader's threads decode chunk c+1
+    # while the device computes chunk c — run_sequence_streamed)
+    e2e_fps = None
+    try:
+        e2e_fps = _bench_e2e(frames_np, cfg)
+    except Exception:
+        pass
+
+    out = {
         "metric": "VO frames/sec/chip (1241x376, 1200 kps, 5pt RANSAC)",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base_fps, 2),
-    }))
+    }
+    if e2e_fps:
+        out["e2e_decode_fps"] = round(e2e_fps, 2)
+    print(json.dumps(out))
     return 0
+
+
+def _bench_e2e(frames_np, cfg):
+    """End-to-end frames/sec: threaded native PNG decode + device upload +
+    the streamed three-stage pipeline, overlapped."""
+    import shutil
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    from tpu_vo.io import native_loader
+    from tpu_vo.pipeline.runner import run_sequence_streamed
+
+    if not native_loader.available():
+        return None
+
+    tmp = tempfile.mkdtemp(prefix="vo_bench_")
+    try:
+        for i, f in enumerate(frames_np):
+            cv2.imwrite(f"{tmp}/{i:06d}.png", f)
+
+        chunk = 16
+        T = (len(frames_np) // chunk) * chunk
+
+        def chunks(ds):
+            buf = []
+            for i, frame in ds:
+                buf.append(frame)
+                if len(buf) == chunk:
+                    yield np.stack(buf)
+                    buf = []
+                if i + 1 >= T:
+                    break
+
+        def once():
+            ds = native_loader.NativeDataset(tmp, n_threads=8, depth=32)
+            t0 = time.perf_counter()
+            poses, _ = run_sequence_streamed(chunks(ds), cfg, chunk)
+            np.asarray(poses.t[-1])      # fence
+            dt = time.perf_counter() - t0
+            ds.close()
+            return T / dt
+
+        once()                            # compile warmup
+        return max(once(), once())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -188,3 +188,26 @@ def test_vo_step_jit_stability(scene, cfg):
     a, outa = step(s1, jnp.asarray(frames[1]))
     b, outb = step(s1, jnp.asarray(frames[1]))
     np.testing.assert_array_equal(np.asarray(outa.pose.t), np.asarray(outb.pose.t))
+
+
+@pytest.mark.slow
+def test_streamed_runner_matches_batched(scene, cfg):
+    """run_sequence_streamed over chunks == run_sequence_batched on the
+    concatenated frames (same per-global-frame RANSAC keys -> identical
+    sampling; only the chunking differs)."""
+    from tpu_vo.pipeline.runner import run_sequence_streamed
+
+    frames = np.stack(scene[0])[:8]
+    poses_b, diags_b = jax.jit(
+        lambda f: run_sequence_batched(f, cfg))(jnp.asarray(frames))
+
+    chunks = [frames[:4], frames[4:]]
+    poses_s, diags_s = run_sequence_streamed(iter(chunks), cfg, 4)
+
+    np.testing.assert_array_equal(
+        np.asarray(diags_s["num_matches"]), np.asarray(diags_b["num_matches"]))
+    traj_b = np.asarray(poses_b.t)
+    traj_s = np.asarray(poses_s.t)
+    extent = max(np.linalg.norm(traj_b[-1]), 1e-9)
+    ate = absolute_trajectory_error(traj_s, traj_b)
+    assert ate / extent < 0.05, f"streamed vs batched ATE {ate}"

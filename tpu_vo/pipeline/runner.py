@@ -138,3 +138,79 @@ def run_sequence_batched(frames: jax.Array, cfg: VOConfig, seed=0,
         "F": est["F"],
     }
     return poses, diags
+
+
+@functools.lru_cache(maxsize=None)
+def _streamed_fns(cfg: VOConfig):
+    """Cached jitted stage functions — a fresh jax.jit object per call
+    would force a retrace (and a remote compile-cache round-trip) on
+    every run_sequence_streamed invocation."""
+    feat_fn = jax.jit(jax.vmap(
+        functools.partial(detect_and_compute, cfg=cfg.orb)))
+
+    def pairs(prev, cur, keys):
+        return jax.vmap(
+            lambda p, c, k: estimate_pair(p, c, k, cfg))(prev, cur, keys)
+
+    return feat_fn, jax.jit(pairs)
+
+
+def run_sequence_streamed(chunks, cfg: VOConfig, chunk_size: int, seed=0):
+    """IO-overlapped VO over an iterator of (chunk_size, H, W) uint8 frame
+    chunks (e.g. the native decoder's prefetch ring).
+
+    TPU-native replacement for the reference's decode->process frame loop
+    (main.cpp:128-161, cv::imread inline): while the device runs chunk c's
+    features + pair estimation (JAX dispatch is asynchronous), the host
+    decodes chunk c+1 on the native loader's threads. Every chunk computes
+    `chunk_size` pairs by carrying the previous chunk's last frame
+    features as the first pair's `prev` (the very first pair is a dummy
+    against the first frame itself and is dropped), so results are
+    identical to run_sequence_batched on the concatenated sequence up to
+    RANSAC key assignment (keys here are per global frame index, same
+    scheme).
+
+    Returns (poses, diags) like run_sequence_batched.
+    """
+    feat_fn, pairs_fn = _streamed_fns(cfg)
+    base = jax.random.PRNGKey(seed if not hasattr(seed, "dtype") else seed)
+
+    ests = []
+    carry = None     # last frame's features (batched slice of size 1)
+    offset = 0
+    for chunk in chunks:
+        chunk = jnp.asarray(chunk)
+        feats = feat_fn(chunk)
+        first = jax.tree.map(lambda a: a[:1], feats)
+        prev_feats = jax.tree.map(
+            lambda a: a[:-1], feats)
+        if carry is None:
+            prev = jax.tree.map(
+                lambda f, p: jnp.concatenate([f, p], axis=0), first,
+                prev_feats)
+        else:
+            prev = jax.tree.map(
+                lambda cl, p: jnp.concatenate([cl, p], axis=0), carry,
+                prev_feats)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            offset + jnp.arange(chunk.shape[0], dtype=jnp.int32))
+        ests.append(pairs_fn(prev, feats, keys))
+        carry = jax.tree.map(lambda a: a[-1:], feats)
+        offset += chunk.shape[0]
+
+    est = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *ests)
+    # drop the dummy first pair (frame 0 against itself)
+    est = jax.tree.map(lambda a: a[1:], est)
+    poses = chain_relative_poses(
+        est["R"], est["t"], est["have_rt"], est["pose_ok"], cfg
+    )
+    diags = {
+        "num_keypoints": est["n_keypoints"],
+        "num_matches": est["n_good"],
+        "num_inliers": est["n_inliers"],
+        "num_valid_points": est["n_valid_points"],
+        "pose_ok": est["pose_ok"],
+        "epipolar_residual": est["mean_residual"],
+        "F": est["F"],
+    }
+    return poses, diags

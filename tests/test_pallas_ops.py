@@ -79,12 +79,15 @@ def test_fused_select_maps_matches_xla_interpret(rng):
     masked = np.where(np.asarray(keep), np.asarray(score), 0.0)
     href = np.asarray(harris.harris_response_map(img))
 
-    # unpack the pooled (score, idx) map back into a dense score map
-    m = h * w
+    # unpack the pooled (score, key) map back into a dense score map
+    from tpu_vo.ops.select_pallas import _bit_reverse
+
     rec = np.zeros((h, w), np.float32)
     pk = np.asarray(packed)
     nz = pk > 0
-    idx = (m - 1) - (pk[nz] & ((1 << idx_bits) - 1))
+    mask = (1 << idx_bits) - 1
+    idx = np.asarray(_bit_reverse(
+        jnp.asarray(mask - (pk[nz] & mask)), idx_bits))
     rec[idx // w, idx % w] = pk[nz] >> idx_bits
     np.testing.assert_array_equal(rec, masked)
 

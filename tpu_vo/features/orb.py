@@ -100,10 +100,11 @@ def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
         v, _ = jax.lax.top_k(pooled, k_red)
         if k_red < k2:
             v = jnp.pad(v, (0, k2 - k_red))
+        from tpu_vo.ops.select_pallas import _bit_reverse
+
         v2 = (v >> idx_bits).astype(jnp.float32)
-        idx2 = jnp.where(v > 0,
-                         jnp.int32(h * w - 1) - (v & ((1 << idx_bits) - 1)),
-                         0)
+        mask = jnp.int32((1 << idx_bits) - 1)
+        idx2 = jnp.where(v > 0, _bit_reverse(mask - (v & mask), idx_bits), 0)
         ys2 = idx2 // w
         xs2 = idx2 % w
         cand_ok = v2 > 0.0

@@ -13,11 +13,13 @@ VMEM/registers:
   score   FAST-9/16 arc margins (tree-min shared across the 16 arcs)
   keep    strict-greater 3x3 NMS & edgeThreshold border & image bounds
   harris  OpenCV orb.cpp HarrisResponses (f32 Sobel + 7x7 box sums)
-  packed  int32 (score << idx_bits) | (m-1 - flat_idx) for kept corners
+  packed  int32 (score << idx_bits) | (mask - brev(flat_idx)) for kept
+          corners (brev = bit-reversed index, see _bit_reverse)
   pool    vertical 2-row max of `packed`
 
-Packing gives descending-score / ascending-index order under a plain int32
-sort — exactly lax.top_k's stable tie behavior on the f32 map. The 2x1
+Packing gives descending-score order under a plain int32 sort, with ties
+broken by ascending bit-reversed index — deterministic and spatially
+uniform (see _bit_reverse for why plain index order is harmful). The 2x1
 (plus a 1x2 XLA-side) max-pool is lossless: strict-greater 8-neighbor NMS
 admits at most one survivor per 2x2 block, so top-k runs over a quarter
 of the pixels in int32, with no relayout of the full-resolution map.
@@ -39,9 +41,41 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_vo.features.fast import CIRCLE_OFFSETS
 
 HALO = 4          # FAST circle (3) + NMS (1); Harris Sobel(1)+box(3) = 4
-ROW_TILE = 64     # even; rows of packed output per program = ROW_TILE // 2
 HARRIS_K = 0.04
 HARRIS_BLOCK = 7
+
+
+def _row_tile(w_pad: int) -> int:
+    """Largest even-multiple-of-8 row tile whose in-kernel temporaries fit
+    scoped VMEM. Measured: ~150 bytes of live temps per (row, lane) at the
+    peak (16 f32 circle-diff tiles + Harris products); budget 14 MB."""
+    rows = int(14e6 / (w_pad * 150))
+    # multiples of 16 so the packed (rt // 2)-row output block stays
+    # 8-sublane aligned
+    return max(16, min(64, ((rows - 2) // 16) * 16))
+
+
+def _bit_reverse(x: jax.Array, bits: int) -> jax.Array:
+    """Reverse the low `bits` bits of non-negative int32 x.
+
+    Used as the tie-break key among equal FAST scores: descending-packed
+    order then prefers ascending BIT-REVERSED index, which interleaves
+    ties uniformly across the image. A plain ascending-index tie-break
+    measurably biased kept ties toward the top rows at the retainBest
+    cutoff and degraded pose conditioning (config-1 ATE 0.4% -> 2%);
+    OpenCV's retainBest keeps ALL ties so has no such bias, and
+    lax.top_k's unspecified order happened to interleave.
+    """
+    x = x.astype(jnp.uint32)
+    m1 = jnp.uint32(0x55555555)
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    x = ((x & m1) << 1) | ((x >> 1) & m1)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    return (x >> (32 - bits)).astype(jnp.int32)
 
 
 def _lane_rolls(tile, shifts):
@@ -58,13 +92,12 @@ def _lane_rolls(tile, shifts):
 
 
 def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
-                   w_pad, border, idx_bits):
-    """img block: (ROW_TILE + 2*HALO, w_pad) f32; outputs for the center
-    ROW_TILE rows: packed (ROW_TILE//2, w_pad) int32, harris (ROW_TILE,
-    w_pad) f32."""
-    r0 = pl.program_id(1) * ROW_TILE        # first center row (global)
+                   w_pad, border, idx_bits, rt):
+    """img block: (rt + 2*HALO, w_pad) f32; outputs for the center rt
+    rows: packed (rt//2, w_pad) int32, harris (rt, w_pad) f32."""
+    r0 = pl.program_id(1) * rt              # first center row (global)
 
-    raw = img_ref[0, 0]                     # (ROW_TILE + 8, w_pad) f32
+    raw = img_ref[0, 0]                     # (rt + 8, w_pad) f32
 
     # ---------------- FAST margins (f32 in-VMEM) ------------------------
     # (bf16 would halve VMEM traffic but Mosaic's lane-rotate requires
@@ -73,8 +106,8 @@ def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
     need_dx = sorted({dx for dx, _ in CIRCLE_OFFSETS} | {0})
     rolled = _lane_rolls(raw, need_dx)
 
-    # scores for center rows +-1 (NMS halo): local rows [HALO-1, HALO+ROW_TILE+1)
-    s_lo, s_n = HALO - 1, ROW_TILE + 2
+    # scores for center rows +-1 (NMS halo): local rows [HALO-1, HALO+rt+1)
+    s_lo, s_n = HALO - 1, rt + 2
     center = raw[s_lo:s_lo + s_n]
     d = []
     for dx, dy in CIRCLE_OFFSETS:
@@ -100,7 +133,7 @@ def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
     thr = jnp.float32(threshold)
     corner = margin > thr
     score = jnp.where(corner, jnp.maximum(margin, thr) - 1.0, 0.0)
-    # (ROW_TILE + 2, w_pad), rows shifted by -1 vs center rows
+    # (rt + 2, w_pad), rows shifted by -1 vs center rows
 
     # ---------------- strict 3x3 NMS on the center rows -----------------
     sc_rolled = _lane_rolls(score, (-1, 0, 1))
@@ -109,25 +142,25 @@ def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            neigh.append(sc_rolled[dx][1 + dy:1 + dy + ROW_TILE])
+            neigh.append(sc_rolled[dx][1 + dy:1 + dy + rt])
     nmax = neigh[0]
     for x in neigh[1:]:
         nmax = jnp.maximum(nmax, x)
-    sc_c = score[1:1 + ROW_TILE]
-    keep = corner[1:1 + ROW_TILE]
+    sc_c = score[1:1 + rt]
+    keep = corner[1:1 + rt]
     keep = keep & (sc_c > nmax)
 
     # ---------------- border / bounds mask ------------------------------
-    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, w_pad), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, w_pad), 1)
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (rt, w_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, w_pad), 1)
     inb = ((rows >= border) & (rows < h - border)
            & (cols >= border) & (cols < w - border))
     keep = keep & inb
 
     # ---------------- Harris response (f32) -----------------------------
     f_rolled = _lane_rolls(raw, (-1, 0, 1))
-    # Sobel for rows [HALO-3, HALO+ROW_TILE+3): box sum needs +-3
-    b_lo, b_n = HALO - 3, ROW_TILE + 6
+    # Sobel for rows [HALO-3, HALO+rt+3): box sum needs +-3
+    b_lo, b_n = HALO - 3, rt + 6
 
     def at(dy, dx):
         return f_rolled[dx][b_lo + dy:b_lo + dy + b_n]
@@ -144,11 +177,11 @@ def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
         xr = _lane_rolls(x, (-3, -2, -1, 1, 2, 3))
         for dd in (1, 2, 3):
             acc = acc + xr[dd] + xr[-dd]
-        out = acc[3:3 + ROW_TILE]
+        out = acc[3:3 + rt]
         for dd in (1, 2, 3):
             out = (out
-                   + acc[3 + dd:3 + dd + ROW_TILE]
-                   + acc[3 - dd:3 - dd + ROW_TILE])
+                   + acc[3 + dd:3 + dd + rt]
+                   + acc[3 - dd:3 - dd + rt])
         return out
 
     a = box7(Ix * Ix)
@@ -158,27 +191,29 @@ def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
     harris_ref[0] = (a * b - c * c - HARRIS_K * (a + b) * (a + b)) * scale4
 
     # ---------------- pack + vertical 2-row max-pool ---------------------
-    m = h * w
     flat_idx = rows * w + cols
+    mask = jnp.int32((1 << idx_bits) - 1)
+    key = mask - _bit_reverse(flat_idx, idx_bits)
     packed = jnp.where(
         keep,
-        (sc_c.astype(jnp.int32) << idx_bits) | (jnp.int32(m - 1) - flat_idx),
+        (sc_c.astype(jnp.int32) << idx_bits) | key,
         0,
     )
-    p2 = packed.reshape(ROW_TILE // 2, 2, w_pad)
+    p2 = packed.reshape(rt // 2, 2, w_pad)
     packed_ref[0] = jnp.maximum(p2[:, 0, :], p2[:, 1, :])
 
 
 @functools.lru_cache(maxsize=None)
 def _build_call(b, h, w, threshold, border, idx_bits):
     w_pad = -(-w // 128) * 128
+    rt = _row_tile(w_pad)
     h_even = h + (h % 2)
-    h_pad = -(-h_even // ROW_TILE) * ROW_TILE
-    grid = (b, h_pad // ROW_TILE)
+    h_pad = -(-h_even // rt) * rt
+    grid = (b, h_pad // rt)
 
     kernel = functools.partial(
         _select_kernel, threshold=threshold, h=h, w=w, w_pad=w_pad,
-        border=border, idx_bits=idx_bits,
+        border=border, idx_bits=idx_bits, rt=rt,
     )
 
     call = pl.pallas_call(
@@ -188,15 +223,15 @@ def _build_call(b, h, w, threshold, border, idx_bits):
             # bands are pre-stacked with overlapping halos (BlockSpec
             # index maps scale by the block shape, so overlapping reads
             # cannot be expressed directly)
-            pl.BlockSpec((1, 1, ROW_TILE + 2 * HALO, w_pad),
+            pl.BlockSpec((1, 1, rt + 2 * HALO, w_pad),
                          lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ROW_TILE // 2, w_pad),
+            pl.BlockSpec((1, rt // 2, w_pad),
                          lambda bi, r: (bi, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_TILE, w_pad),
+            pl.BlockSpec((1, rt, w_pad),
                          lambda bi, r: (bi, r, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -206,7 +241,7 @@ def _build_call(b, h, w, threshold, border, idx_bits):
         ],
     )
 
-    n_bands = h_pad // ROW_TILE
+    n_bands = h_pad // rt
 
     def run(imgs):
         # halo rows top+bottom; right lane padding to the 128 multiple;
@@ -217,8 +252,8 @@ def _build_call(b, h, w, threshold, border, idx_bits):
             ((0, 0), (HALO, h_pad - h + HALO), (0, w_pad - w)),
         )
         bands = jnp.stack(
-            [jax.lax.slice_in_dim(imgs_p, r * ROW_TILE,
-                                  r * ROW_TILE + ROW_TILE + 2 * HALO, axis=1)
+            [jax.lax.slice_in_dim(imgs_p, r * rt,
+                                  r * rt + rt + 2 * HALO, axis=1)
              for r in range(n_bands)], axis=1)
         return call(bands)
 

@@ -23,6 +23,14 @@ import numpy as np
 def main():
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
     import jax
+
+    # persistent compile cache: first-compile of the full pipeline is
+    # minutes on the remote-TPU compile service; cached runs are seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     import jax.numpy as jnp
 
     from tpu_vo.configs import ORBConfig, RansacConfig, VOConfig

@@ -36,10 +36,14 @@ class ORBConfig:
     per_level_capacity: int = 4096
     # OpenCV's KeyPointsFilter::retainBest keeps score TIES at the cutoff
     # (so its stage-1 FAST cut can pass more than 2n candidates to Harris
-    # ranking; integer FAST scores tie often). False (default) truncates to
-    # exactly 2n — cheaper, and the Harris re-ranking makes the final sets
-    # nearly identical (overlap measured in tests/test_features.py). True
-    # emulates the keep-ties cut within a 4n fixed candidate capacity.
+    # ranking; integer FAST scores tie often). True emulates the keep-ties
+    # cut within a 4n fixed candidate capacity — cv2-faithful, and
+    # measured 2x better ATE on the 640x480 benchmark (1.0% -> 0.54% of
+    # extent) at ~2% throughput cost; but it also measured 0.2% -> 3.2%
+    # WORSE on the 1241x376/2k-kps config (sequence-sensitive, both
+    # within RANSAC chain noise). False (default) truncates to exactly 2n
+    # with ties chosen by bit-reversed index (deterministic, spatially
+    # uniform — see ops/select_pallas._bit_reverse).
     retain_best_keep_ties: bool = False
 
     @property

@@ -59,6 +59,12 @@ def extract_patches(lvl: jax.Array, ys: jax.Array, xs: jax.Array,
     garbage that downstream validity masks discard).
     """
     size = 2 * radius + 1
+    h, w = lvl.shape
+    if h < size or w < size:
+        # levels smaller than the window hold no valid keypoints anyway
+        # (edgeThreshold=31 border > window radius) — pad so the slice is
+        # well-formed and the garbage slots stay mask-discarded
+        lvl = jnp.pad(lvl, ((0, max(0, size - h)), (0, max(0, size - w))))
 
     def one(y, x):
         return jax.lax.dynamic_slice(lvl, (y - radius, x - radius),

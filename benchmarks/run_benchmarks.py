@@ -264,6 +264,17 @@ def run_config_5(frames_override=None):
 RUNNERS = {1: run_config_1, 2: run_config_2, 3: run_config_3,
            4: run_config_4, 5: run_config_5}
 
+# Canonical result names — error entries are keyed by these too, so a
+# failed run of config N overwrites (and is overwritten by) N's success
+# entry rather than living forever beside it.
+CANONICAL = {
+    1: "1_short_mono_640x480_1k",
+    2: "2_kitti_1241x376_2k",
+    3: "3_highdensity_4k_8k_ratio",
+    4: "4_batched_8seq_sharded",
+    5: "5_window_triangulation_lm",
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -275,8 +286,9 @@ def main(argv=None):
     for c in [int(x) for x in args.configs.split(",")]:
         try:
             r = RUNNERS[c](args.frames or None)
+            r["config"] = CANONICAL[c]
         except Exception as e:  # report failures, keep going
-            r = {"config": str(c), "error": f"{type(e).__name__}: {e}"}
+            r = {"config": CANONICAL[c], "error": f"{type(e).__name__}: {e}"}
         results.append(r)
         print(json.dumps(r), flush=True)
 
@@ -287,7 +299,11 @@ def main(argv=None):
         try:
             with open(out) as f:
                 for r in json.load(f):
-                    merged[r.get("config")] = r
+                    name = r.get("config")
+                    # retire legacy bare-numeric-id entries
+                    if name in {str(k) for k in CANONICAL}:
+                        continue
+                    merged[name] = r
         except Exception:
             pass
     for r in results:

@@ -129,6 +129,8 @@ def find_essential_ransac(
         )
         sub_counts = jnp.where(valid_models,
                                jnp.sum(sub_inl, axis=-1), -1)
+        # top_k requires k <= array size (e.g. 8-point with max_iters < 16)
+        finalists = min(finalists, Es.shape[0])
         _, top = jax.lax.top_k(sub_counts, finalists)
         Es = Es[top]
         valid_models_full = valid_models

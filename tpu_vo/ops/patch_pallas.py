@@ -141,7 +141,17 @@ def extract_patches_pallas(lvl: jax.Array, ys: jax.Array,
     (rows 43..47 are extra below-window pixels consumers never read).
 
     vmap-compatible over a leading frame axis.
+
+    Levels smaller than the DMA window (h < ROWS or w < RAW_SIZE) fall
+    back to the XLA path: the kernel's clamped band offsets would go
+    negative there and leave output blocks uninitialized.
     """
     h, w = lvl.shape[-2], lvl.shape[-1]
     n = ys.shape[-1]
+    if h < ROWS or w < RAW_SIZE:
+        from tpu_vo.features.patches import extract_patches
+
+        raw = extract_patches(lvl, ys, xs)      # (..., N, RAW_SIZE, RAW_SIZE)
+        pad = [(0, 0)] * (raw.ndim - 2) + [(0, ROWS - RAW_SIZE), (0, 0)]
+        return jnp.pad(raw, pad)
     return _make_fn(h, w, n)(lvl, ys.astype(jnp.int32), xs.astype(jnp.int32))

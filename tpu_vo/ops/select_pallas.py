@@ -290,7 +290,9 @@ def fused_select_maps(img: jax.Array, threshold: int, border: int):
     harris: (H padded, W_pad) f32 dense Harris response (valid inside the
       border; garbage near edges/padding).
     idx_bits decodes: score = v >> idx_bits,
-      flat_idx = (H*W - 1) - (v & ((1 << idx_bits) - 1)).
+      flat_idx = _bit_reverse(mask - (v & mask), idx_bits) with
+      mask = (1 << idx_bits) - 1 (the key stores the complemented
+      BIT-REVERSED flat index; see _bit_reverse for why).
 
     vmap-compatible over a leading frame axis.
     """

@@ -173,7 +173,11 @@ def run_sequence_streamed(chunks, cfg: VOConfig, chunk_size: int, seed=0):
     Returns (poses, diags) like run_sequence_batched.
     """
     feat_fn, pairs_fn = _streamed_fns(cfg)
-    base = jax.random.PRNGKey(seed if not hasattr(seed, "dtype") else seed)
+    # accept either an int seed or a pre-made PRNG key array
+    if hasattr(seed, "dtype") and getattr(seed, "ndim", 0) > 0:
+        base = seed
+    else:
+        base = jax.random.PRNGKey(seed)
 
     ests = []
     carry = None     # last frame's features (batched slice of size 1)

@@ -211,3 +211,46 @@ def test_cli_missing_dataset():
     )
     assert r.returncode != 0
     assert "Dataset directory not found" in r.stderr
+
+
+def test_cli_renders_trajectory_per_frame(tmp_path, monkeypatch):
+    """--show-less (headless) CLI still renders the 3D trajectory every
+    frame, matching the reference's per-iteration viewer.render_step
+    (main.cpp:158 -> trajectory_viewer.cpp:94-153)."""
+    from tpu_vo import api, cli
+    from tpu_vo.utils.synthetic import make_sequence, write_dataset
+
+    frames, _, _, _ = make_sequence(n_frames=3, width=192, height=144, seed=2)
+    ds = str(tmp_path / "Dataset_VO")
+    write_dataset(ds, frames)
+
+    calls = []
+    orig = api.TrajectoryViewer.render_step
+
+    def counting(self, poses):
+        calls.append(len(poses))
+        return orig(self, poses)
+
+    monkeypatch.setattr(api.TrajectoryViewer, "render_step", counting)
+    rc = cli.main([ds, "--levels", "2", "--features", "200",
+                   "--ransac-iters", "32", "--quiet"])
+    assert rc == 0
+    # one render per processed frame, each over the full trajectory so far
+    assert calls == [1, 2, 3]
+
+
+def test_cli_no_viewer_flag(tmp_path, monkeypatch):
+    from tpu_vo import api, cli
+    from tpu_vo.utils.synthetic import make_sequence, write_dataset
+
+    frames, _, _, _ = make_sequence(n_frames=2, width=192, height=144, seed=2)
+    ds = str(tmp_path / "Dataset_VO")
+    write_dataset(ds, frames)
+
+    def boom(self, poses):
+        raise AssertionError("viewer should not render with --no-viewer")
+
+    monkeypatch.setattr(api.TrajectoryViewer, "render_step", boom)
+    rc = cli.main([ds, "--levels", "2", "--features", "200",
+                   "--ransac-iters", "32", "--quiet", "--no-viewer"])
+    assert rc == 0

@@ -118,3 +118,62 @@ def test_graft_entry_single():
     fn, args = g.entry()
     # trace-only check (full 8-level compile is exercised by the driver)
     jax.eval_shape(fn, *args)
+
+
+def _collective_ops(compiled_text):
+    """(op_name, element_count) for every collective in optimized HLO."""
+    import re
+
+    pat = re.compile(
+        r"= \w+\[([\d,]*)\][^ ]* "
+        r"(all-gather|all-reduce|collective-permute|all-to-all|"
+        r"reduce-scatter)\(")
+    out = []
+    for line in compiled_text.splitlines():
+        m = pat.search(line)
+        if m:
+            dims = [int(d) for d in m.group(1).split(",") if d]
+            n = 1
+            for d in dims:
+                n *= d
+            out.append((m.group(2), n))
+    return out
+
+
+@pytest.mark.slow
+def test_dp_compiles_to_zero_collectives(frames8):
+    """The DP claim ("zero collectives, scales linearly") held at the HLO
+    level: shard_map guarantees no communication; this fails if a future
+    refactor reintroduces jit-partitioned ops XLA must all-gather for
+    (the old NamedSharding formulation gathered full FAST score maps
+    across devices to satisfy top_k)."""
+    import tpu_vo.parallel.sharding as sh
+
+    cfg = small_cfg()
+    mesh = make_mesh((8, 1), ("data", "seq"))
+    seeds = jnp.arange(8, dtype=jnp.uint32)
+    fn = sh._batch_runner(cfg, mesh, None, None)
+    txt = fn.lower(frames8, seeds).compile().as_text()
+    colls = _collective_ops(txt)
+    assert colls == [], f"DP path must be communication-free, found {colls}"
+
+
+@pytest.mark.slow
+def test_sp_collectives_are_small():
+    """SP moves only the one-frame feature halo (ppermute) and the pose
+    chain's 3x3 combines — never frames or score maps. Every collective
+    in the compiled program must be below image scale, and the halo
+    ppermute must exist."""
+    import tpu_vo.parallel.sharding as sh
+
+    cfg = small_cfg()
+    mesh = make_mesh((8,), ("seq",))
+    fn = sh._time_sharded_runner(cfg, mesh, 0, "seq")
+    frames = jnp.zeros((16, 96, 128), jnp.uint8)
+    txt = fn.lower(frames).compile().as_text()
+    colls = _collective_ops(txt)
+    pixels = 96 * 128
+    big = [c for c in colls if c[1] >= pixels]
+    assert not big, f"image-scale collective(s) in SP program: {big}"
+    assert any(op == "collective-permute" for op, _ in colls), \
+        "expected the one-frame feature halo ppermute"

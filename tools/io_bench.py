@@ -1,0 +1,170 @@
+"""IO-path decomposition benchmark: where do end-to-end frames/sec go?
+
+Publishes the numbers VERDICT r2 asked for (weak #1): decode-only fps,
+upload-only MB/s, compute-only fps, runner-overhead fps, and the two
+end-to-end numbers (PNG decode and pre-packed .vobin). Writes
+benchmarks/io_decomposition.json and prints one JSON line.
+
+The reference decodes with cv::imread inline in its frame loop
+(/root/reference/src/main.cpp:136); `e2e_png_fps` is the comparable
+number for this framework's overlapped decode->upload->compute path.
+
+Usage: python tools/io_bench.py [--frames 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def median_of(fn, n=3):
+    return float(np.median([fn() for _ in range(n)]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--chunk", type=int, default=16)
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    import cv2
+
+    from tpu_vo.configs import ORBConfig, RansacConfig, VOConfig
+    from tpu_vo.io import native_loader
+    from tpu_vo.pipeline.runner import run_sequence_batched, run_sequence_streamed
+    from tpu_vo.utils.synthetic import make_sequence
+
+    W, H, T, chunk = 1241, 376, args.frames, args.chunk
+    frames_np, _, _, _ = make_sequence(n_frames=T, width=W, height=H, seed=0)
+    arr = np.stack(frames_np)
+    mb = arr.nbytes / 1e6
+    cfg = VOConfig(image_width=W, image_height=H,
+                   orb=ORBConfig(n_features=1200),
+                   ransac=RansacConfig(max_iters=256))
+    dev = jax.devices()[0]
+    out = {"frames": T, "shape": [H, W], "payload_mb": round(mb, 1),
+           "host_cpus": os.cpu_count(), "chunk": chunk}
+
+    # ---- upload-only: host->device bandwidth at streaming granularity ----
+    def upload_once():
+        t0 = time.perf_counter()
+        bufs = [jax.device_put(arr[i:i + chunk], dev)
+                for i in range(0, T, chunk)]
+        for b in bufs:
+            b.block_until_ready()
+        return mb / (time.perf_counter() - t0)
+
+    upload_once()
+    out["upload_only_mbps"] = round(median_of(upload_once), 1)
+    out["upload_only_fps"] = round(out["upload_only_mbps"] / (mb / T), 1)
+
+    # ---- compute-only: batched pipeline on device-resident frames --------
+    frames_dev = jax.device_put(arr)
+    run = jax.jit(lambda f: run_sequence_batched(f, cfg, frame_chunk=8,
+                                                 pair_chunk=9))
+
+    def compute_once():
+        t0 = time.perf_counter()
+        np.asarray(run(frames_dev)[0].t[-1])
+        return T / (time.perf_counter() - t0)
+
+    compute_once()
+    out["compute_only_fps"] = round(median_of(compute_once), 1)
+
+    # ---- streamed runner on pre-decoded host chunks (runner + upload) ----
+    def streamed_host_once():
+        t0 = time.perf_counter()
+        poses, _ = run_sequence_streamed(
+            (arr[i:i + chunk] for i in range(0, T, chunk)), cfg)
+        np.asarray(poses.t[-1])
+        return T / (time.perf_counter() - t0)
+
+    streamed_host_once()
+    out["streamed_host_chunks_fps"] = round(median_of(streamed_host_once), 1)
+
+    tmp = tempfile.mkdtemp(prefix="vo_io_bench_")
+    try:
+        for i, f in enumerate(frames_np):
+            cv2.imwrite(f"{tmp}/{i:06d}.png", f)
+
+        if native_loader.available():
+            # ---- decode-only: native threaded PNG decode -----------------
+            def decode_once():
+                ds = native_loader.NativeDataset(tmp, n_threads=4, depth=32)
+                t0 = time.perf_counter()
+                n = sum(1 for _ in ds)
+                dt = time.perf_counter() - t0
+                ds.close()
+                return n / dt
+
+            out["decode_only_fps"] = round(median_of(decode_once), 1)
+
+            # ---- e2e PNG: decode -> upload -> compute, overlapped --------
+            def chunks_of(ds):
+                buf = []
+                for i, frame in ds:
+                    buf.append(frame)
+                    if len(buf) == chunk:
+                        yield np.stack(buf)
+                        buf = []
+
+            def e2e_png_once():
+                ds = native_loader.NativeDataset(tmp, n_threads=4, depth=32)
+                t0 = time.perf_counter()
+                poses, _ = run_sequence_streamed(chunks_of(ds), cfg)
+                np.asarray(poses.t[-1])
+                dt = time.perf_counter() - t0
+                ds.close()
+                return T / dt
+
+            e2e_png_once()
+            out["e2e_png_fps"] = round(median_of(e2e_png_once), 1)
+
+            # ---- e2e packed: mmap .vobin -> upload -> compute ------------
+            pack = f"{tmp}/seq.vobin"
+            native_loader.pack_dataset(tmp, pack, n_threads=4)
+
+            def e2e_packed_once():
+                ps = native_loader.PackedSequence(pack)
+                t0 = time.perf_counter()
+                poses, _ = run_sequence_streamed(
+                    (ps.read(i, chunk) for i in range(0, T, chunk)), cfg)
+                np.asarray(poses.t[-1])
+                dt = time.perf_counter() - t0
+                ps.close()
+                return T / dt
+
+            e2e_packed_once()
+            out["e2e_packed_fps"] = round(median_of(e2e_packed_once), 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    dst = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "benchmarks", "io_decomposition.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

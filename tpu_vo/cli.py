@@ -74,7 +74,12 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default=None, help="checkpoint to resume from")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--show", action="store_true",
-                   help="interactive keypoint overlay window (needs GUI)")
+                   help="interactive keypoint overlay + trajectory windows "
+                        "(needs GUI)")
+    p.add_argument("--no-viewer", action="store_true",
+                   help="skip the per-frame 3D trajectory render "
+                        "(the reference draws it every loop iteration, "
+                        "main.cpp:158; disable for throughput runs)")
     args = p.parse_args(argv)
 
     print("=" * 40)
@@ -124,6 +129,16 @@ def main(argv=None) -> int:
 
     out_dir = args.out_dir or dataset
     poses_R, poses_t, stamps = [], [], []
+    pose_objs = []  # accumulated Pose list for the live trajectory render
+
+    viewer = None
+    if not args.no_viewer:
+        # The reference creates the 3D viewer before the loop and renders
+        # the full trajectory every iteration (main.cpp:112-113, :158).
+        from tpu_vo.api import TrajectoryViewer
+
+        viewer = TrajectoryViewer(show=args.show)
+        viewer.init()
 
     n_total = len(paths)
     print(f"\nProcessing {n_total - start} frames...")
@@ -142,6 +157,17 @@ def main(argv=None) -> int:
         poses_R.append(np.asarray(out.pose.R))
         poses_t.append(np.asarray(out.pose.t))
         stamps.append(ts)
+        pose_objs.append(Pose(jnp.asarray(poses_R[-1]),
+                              jnp.asarray(poses_t[-1])))
+
+        if viewer is not None:
+            # per-frame 3D trajectory render (main.cpp:158 ->
+            # trajectory_viewer.cpp:94-153); with --show this is a live
+            # window, headless it keeps viewer.last_frame current
+            viewer.render_step(pose_objs)
+            if viewer.should_quit():  # window closed -> clean stop (:130)
+                print("\nViewer closed; stopping.")
+                break
 
         if not args.quiet:
             print(f"Frame {i}: Detected {int(out.num_keypoints)} keypoints")

@@ -1,18 +1,24 @@
 """Sharded VO runners: data parallelism over sequences, sequence
-parallelism over frames.
+parallelism over frames — built on shard_map so the communication
+pattern is explicit and guaranteed.
 
 Mapping of the required parallelism strategies (SURVEY.md §2c) onto VO:
 
-  - DP   ("data" axis): independent sequences sharded across devices; no
-    cross-device communication at all — each device runs its own batched
-    pipeline (BASELINE.json config 4).
+  - DP   ("data" axis): independent sequences sharded across devices.
+    Expressed with `jax.shard_map`, so each device runs its own batched
+    pipeline on its local sequences and the compiled program contains
+    ZERO collectives by construction (tests/test_parallel.py asserts
+    this on the lowered HLO). The earlier jit+NamedSharding formulation
+    let XLA's SPMD partitioner all-gather the per-level FAST score maps
+    across devices to satisfy `top_k` — image-scale traffic on a
+    supposedly communication-free path.
   - SP   ("seq" axis): one long sequence sharded along time. Feature
-    extraction is embarrassingly frame-parallel; the pair stage needs each
-    device to see its right neighbor's first frame (a halo of one), and
-    pose chaining is a `jax.lax.associative_scan`, which XLA lowers to a
-    log-depth blocked scan with ICI collectives between shards. We express
-    shardings with NamedSharding and let XLA insert the halo exchange and
-    scan collectives.
+    extraction is embarrassingly frame-parallel; the pair stage needs
+    each device to see its LEFT neighbor's last-frame features (a halo
+    of one), expressed as an explicit `lax.ppermute` of one feature
+    set (~100 KB at 1200 kps) — the only inter-device transfer at
+    feature scale. Pose chaining is a `lax.associative_scan` over the
+    gathered per-pair (R, t) (3x3-sized combines on ICI).
   - TP/PP/EP: no large weights / stages / experts in VO; N/A (documented
     in SURVEY.md §2c).
 
@@ -26,10 +32,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_vo.configs import VOConfig
-from tpu_vo.pipeline.runner import run_sequence_batched
+from tpu_vo.features.orb import detect_and_compute
+from tpu_vo.pipeline.runner import chain_relative_poses, run_sequence_batched
+from tpu_vo.pipeline.step import estimate_pair
 
 
 @functools.lru_cache(maxsize=None)
@@ -37,17 +45,18 @@ def _batch_runner(cfg: VOConfig, mesh: Mesh,
                   frame_chunk: Optional[int], pair_chunk: Optional[int]):
     """Cached jitted runner — rebuilding the closure per call would defeat
     jax's jit cache and recompile the full pipeline every invocation."""
-    def one(seq, seed_arr):
-        return run_sequence_batched(
-            seq, cfg, seed=seed_arr,
-            frame_chunk=frame_chunk, pair_chunk=pair_chunk,
-        )
 
-    in_shard = (
-        NamedSharding(mesh, P("data", None, None, None)),
-        NamedSharding(mesh, P("data")),
-    )
-    return jax.jit(jax.vmap(one), in_shardings=in_shard)
+    def local(frames_local, seeds_local):
+        return jax.vmap(
+            lambda s, sd: run_sequence_batched(
+                s, cfg, seed=sd,
+                frame_chunk=frame_chunk, pair_chunk=pair_chunk))(
+            frames_local, seeds_local)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P("data"), P("data")),
+                       out_specs=P("data"), check_vma=False)
+    return jax.jit(fn)
 
 
 def run_batch_of_sequences(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
@@ -56,10 +65,11 @@ def run_batch_of_sequences(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
                            pair_chunk: Optional[int] = None):
     """VO over a (B, T, H, W) batch of sequences, B sharded on "data".
 
-    Each sequence runs the full batched pipeline; vmap over the batch axis
-    with the batch dimension sharded gives pure data parallelism (zero
-    collectives — throughput scales linearly with devices).
-    Returns (poses (B, T), diagnostics dict of (B, T-1) arrays).
+    Each device runs the full batched pipeline on its B/n_data local
+    sequences (per-sequence RANSAC seeds ride along, also sharded);
+    shard_map guarantees zero collectives — throughput scales linearly
+    with devices. Returns (poses (B, T), diagnostics dict of (B, T-1)
+    arrays).
     """
     B = frames.shape[0]
     seeds = jnp.arange(B, dtype=jnp.uint32) + jnp.uint32(seed)
@@ -69,11 +79,53 @@ def run_batch_of_sequences(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
 
 @functools.lru_cache(maxsize=None)
 def _time_sharded_runner(cfg: VOConfig, mesh: Mesh, seed: int, axis: str):
-    shard = NamedSharding(mesh, P(axis, None, None))
-    return jax.jit(
-        functools.partial(run_sequence_batched, cfg=cfg, seed=seed),
-        in_shardings=(shard,),
-    ), shard
+    n = mesh.shape[axis]
+
+    def local(frames_local, base):
+        """Per-device slice: features for local frames + pair estimation
+        with a one-frame halo from the left neighbor."""
+        t_loc = frames_local.shape[0]
+        feats = jax.vmap(
+            lambda f: detect_and_compute(f, cfg.orb))(frames_local)
+        last = jax.tree.map(lambda a: a[-1:], feats)
+        # right-shift across devices: device d receives d-1's last-frame
+        # features; device 0 receives zeros (all-invalid -> its first
+        # pair is the dummy dropped below, matching the reference's
+        # first-frame early return, visual_odometry.cpp:327-337)
+        perm = [(i, i + 1) for i in range(n - 1)]
+        left = jax.tree.map(
+            lambda a: jax.lax.ppermute(a, axis, perm), last)
+        prev = jax.tree.map(
+            lambda l, a: jnp.concatenate([l, a[:-1]], axis=0), left, feats)
+        # per-global-frame RANSAC keys, same scheme as the batched runner
+        i0 = jax.lax.axis_index(axis) * t_loc
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            i0 + jnp.arange(t_loc, dtype=jnp.int32))
+        return jax.vmap(
+            lambda p, c, k: estimate_pair(p, c, k, cfg))(prev, feats, keys)
+
+    sharded = jax.shard_map(local, mesh=mesh,
+                            in_specs=(P(axis), P()),
+                            out_specs=P(axis), check_vma=False)
+
+    def full(frames):
+        base = jax.random.PRNGKey(seed)
+        est = sharded(frames, base)
+        est = jax.tree.map(lambda a: a[1:], est)  # drop the dummy pair
+        poses = chain_relative_poses(
+            est["R"], est["t"], est["have_rt"], est["pose_ok"], cfg)
+        diags = {
+            "num_keypoints": est["n_keypoints"],
+            "num_matches": est["n_good"],
+            "num_inliers": est["n_inliers"],
+            "num_valid_points": est["n_valid_points"],
+            "pose_ok": est["pose_ok"],
+            "epipolar_residual": est["mean_residual"],
+            "F": est["F"],
+        }
+        return poses, diags
+
+    return jax.jit(full)
 
 
 def run_sequence_time_sharded(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
@@ -81,10 +133,10 @@ def run_sequence_time_sharded(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
                               axis: str = "seq"):
     """One (T, H, W) sequence with the time axis sharded over `axis`.
 
-    The pair stage's prev/cur slicing introduces a one-frame halo which
-    XLA satisfies with a neighbor ppermute; the associative pose scan
-    lowers to blocked scans + inter-shard combines on ICI.
+    Results match run_sequence_batched on the same frames (identical
+    per-global-frame RANSAC keys); only the placement differs. The only
+    feature-scale communication is the explicit one-frame halo ppermute;
+    the pose chain's associative scan moves 3x3s.
     """
-    fn, shard = _time_sharded_runner(cfg, mesh, seed, axis)
-    frames = jax.device_put(frames, shard)
+    fn = _time_sharded_runner(cfg, mesh, seed, axis)
     return fn(frames)

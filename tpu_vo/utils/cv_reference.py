@@ -18,9 +18,22 @@ import cv2
 
 
 class ReferenceVO:
-    """Mirrors the reference class: same ORB/matcher config, gates, scale."""
+    """Mirrors the reference class: same ORB/matcher config, gates, scale.
 
-    def __init__(self, image_width: int, image_height: int):
+    `ransac_state`: OpenCV 5's classic findEssentialMat(RANSAC) path is
+    fully deterministic (its USAC core uses a fixed internal RNG state;
+    cv2.setRNGSeed has no effect — measured). To quantify the reference
+    estimator's own sampling scatter (the "self-ATE band",
+    benchmarks/run_benchmarks.ref_with_band), pass an int here: the
+    essential matrix is then estimated through the UsacParams overload
+    with the same confidence/threshold but a caller-chosen
+    randomGeneratorState. None (default) = the exact reference call
+    (visual_odometry.cpp:213-216).
+    """
+
+    def __init__(self, image_width: int, image_height: int,
+                 ransac_state: Optional[int] = None):
+        self.ransac_state = ransac_state
         # cv::ORB::create args, visual_odometry.cpp:65-85
         self.orb = cv2.ORB_create(
             nfeatures=1200, scaleFactor=1.2, nlevels=8, edgeThreshold=31,
@@ -57,7 +70,18 @@ class ReferenceVO:
             return False, None, None
         p1 = np.float32([kps1[m.queryIdx].pt for m in matches])
         p2 = np.float32([kps2[m.trainIdx].pt for m in matches])
-        E, mask = cv2.findEssentialMat(p1, p2, self.K, cv2.RANSAC, 0.999, 2.0)
+        if self.ransac_state is None:
+            E, mask = cv2.findEssentialMat(p1, p2, self.K,
+                                           cv2.RANSAC, 0.999, 2.0)
+        else:
+            up = cv2.UsacParams()
+            up.confidence = 0.999
+            up.threshold = 2.0
+            up.maxIterations = 1000
+            up.randomGeneratorState = int(self.ransac_state)
+            dc = np.zeros((1, 5))
+            E, mask = cv2.findEssentialMat(p1, p2, self.K, self.K,
+                                           dc, dc, up)
         if E is None or E.shape != (3, 3):
             return False, None, None
         Kinv = np.linalg.inv(self.K)

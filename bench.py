@@ -45,14 +45,17 @@ def main():
     frames_np, _, _, _ = make_sequence(n_frames=T, width=W, height=H, seed=0)
 
     # --- baseline: the OpenCV reference pipeline on this host ------------
-    # best of two runs to damp host-load noise in the CPU baseline
-    n_base = min(T, 16)
-    base_fps = 0.0
-    for _ in range(2):
+    # median of 5 runs over >= 32 frames to damp host-load noise; the
+    # absolute CPU fps is printed alongside the ratio so drift is visible
+    # (VERDICT r2 weak #6)
+    n_base = min(T, 32)
+    samples = []
+    for _ in range(5):
         ref = ReferenceVO(W, H)
         t0 = time.perf_counter()
         ref.run(frames_np[:n_base])
-        base_fps = max(base_fps, n_base / (time.perf_counter() - t0))
+        samples.append(n_base / (time.perf_counter() - t0))
+    base_fps = float(np.median(samples))
 
     # --- TPU pipeline -----------------------------------------------------
     cfg = VOConfig(
@@ -99,6 +102,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base_fps, 2),
+        "cpu_baseline_fps": round(base_fps, 2),
     }
     if e2e_fps:
         out["e2e_decode_fps"] = round(e2e_fps, 2)

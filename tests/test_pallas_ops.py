@@ -24,26 +24,6 @@ def test_fast_margin_pallas_matches_xla_interpret(rng):
     np.testing.assert_array_equal(np.asarray(a_s), np.asarray(p_s))
 
 
-def test_descriptor_pallas_matches_xla_interpret(rng):
-    """Experimental fused blur+sampling kernel: exact vs the XLA path."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from tpu_vo.features import brief
-    from tpu_vo.image.filters import gaussian_blur
-    from tpu_vo.ops.brief_pallas import descriptor_bits_pallas
-
-    img = jnp.asarray(rng.integers(0, 255, size=(128, 384)).astype(np.float32))
-    n = 24
-    ys = jnp.asarray(rng.integers(35, 90, n), dtype=jnp.int32)
-    xs = jnp.asarray(rng.integers(35, 350, n), dtype=jnp.int32)
-    ang = jnp.asarray(rng.uniform(0, 360, n), dtype=jnp.float32)
-    ref = brief.pack_bits_u32(
-        brief.descriptor_bits(gaussian_blur(img), ys, xs, ang))
-    with pltpu.force_tpu_interpret_mode():
-        got = descriptor_bits_pallas(img, ys, xs, ang)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-
 def test_orientation_prefix_equals_gather(rng):
     from tpu_vo.features import orientation
 

@@ -31,9 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_vo.configs import ORBConfig
-from tpu_vo.features import brief, fast, harris, orientation, patches
-from tpu_vo.image.filters import gaussian_blur
-from tpu_vo.image.pyramid import build_pyramid, level_sizes
+from tpu_vo.features import brief, fast, harris, patches
+from tpu_vo.image.pyramid import build_pyramid
 
 
 class ORBFeatures(NamedTuple):
@@ -193,124 +192,6 @@ def detect_and_compute(img: jax.Array,
         xy=jnp.where(valid[:, None], xy, 0.0),
         response=jnp.concatenate(resp_all),
         angle=jnp.where(valid, jnp.concatenate(ang_all), 0.0),
-        octave=jnp.concatenate(oct_all),
-        size=jnp.concatenate(size_all),
-        desc=desc_u8,
-        desc32=desc_u32,
-        valid=valid,
-    )
-
-
-_SEP = 32  # zero rows between packed levels (>= NMS/FAST support; the
-           # edgeThreshold=31 border mask keeps retained keypoints and all
-           # of their sample/blur support strictly inside their level)
-
-
-def _pack_layout(h: int, w: int, cfg: ORBConfig):
-    """Static canvas layout: per-level (row_offset, h_l, w_l)."""
-    sizes = level_sizes(h, w, cfg.n_levels, cfg.scale_factor)
-    offsets = []
-    row = 0
-    for (lh, lw) in sizes:
-        offsets.append((row, lh, lw))
-        row += lh + _SEP
-    return offsets, row - _SEP  # total rows without trailing separator
-
-
-def detect_and_compute_packed(img: jax.Array,
-                              cfg: ORBConfig = ORBConfig()) -> ORBFeatures:
-    """Alternative layout: pyramid levels packed into one tall canvas so
-    FAST, Harris, orientation, blur and the descriptor gather each run
-    once. Numerically identical to detect_and_compute (device-verified):
-    every retained keypoint sits >= edgeThreshold(31) inside its level, so
-    no stage's support (FAST 3, NMS 1, Harris 8, moments 15, blur+rBRIEF
-    22) crosses a level boundary.
-
-    Measured on v5e it is ~1.4x SLOWER than the per-level path: narrow
-    upper levels waste full-canvas-width pixel work (1.6x more pixels than
-    the true pyramid area), which outweighs the dispatch savings. Kept as
-    a tested baseline for future 2D bin-packed layouts.
-    """
-    img = img.astype(jnp.float32)
-    levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-    budgets = features_per_level(cfg.n_features, cfg.n_levels,
-                                 cfg.scale_factor)
-    h, w = img.shape
-    layout, total_rows = _pack_layout(h, w, cfg)
-
-    canvas = jnp.zeros((total_rows, w), dtype=jnp.float32)
-    for lvl_img, (row0, lh, lw) in zip(levels, layout):
-        canvas = jax.lax.dynamic_update_slice(canvas, lvl_img, (row0, 0))
-
-    # One FAST + NMS pass over the canvas.
-    score, keep = fast.detect(canvas, cfg.fast_threshold)
-
-    # Per-level border mask (edgeThreshold within each level rectangle).
-    rows = jnp.arange(total_rows)[:, None]
-    cols = jnp.arange(w)[None, :]
-    border = jnp.zeros((total_rows, w), dtype=bool)
-    b = cfg.edge_threshold
-    for (row0, lh, lw) in layout:
-        rect = ((rows >= row0 + b) & (rows < row0 + lh - b)
-                & (cols >= b) & (cols < lw - b))
-        border = border | rect
-    keep = keep & border
-    masked = jnp.where(keep, score, 0.0)
-
-    # Dense per-canvas maps, computed once.
-    harris_map = harris.harris_response_map(canvas)
-
-    # Per-level top-k selection (budgets differ per level).
-    ys_all, xs_all, resp_all, valid_all = [], [], [], []
-    oct_all, size_all, scale_all = [], [], []
-    for level, ((row0, lh, lw), n_level) in enumerate(zip(layout, budgets)):
-        if n_level <= 0:
-            continue
-        lvl_scores = jax.lax.dynamic_slice(masked, (row0, 0), (lh, w))
-        k2 = min(2 * n_level, lh * w)
-        v2, idx2 = jax.lax.top_k(lvl_scores.reshape(-1), k2)
-        ys2 = idx2 // w + row0
-        xs2 = idx2 % w
-        cand_ok = v2 > 0.0
-        resp = harris_map[ys2, xs2]
-        resp = jnp.where(cand_ok, resp, -jnp.inf)
-        k1 = min(n_level, k2)
-        v1, sel = jax.lax.top_k(resp, k1)
-        ys_all.append(ys2[sel])
-        xs_all.append(xs2[sel])
-        resp_all.append(jnp.where(jnp.isfinite(v1), v1, 0.0))
-        valid_all.append(jnp.isfinite(v1))
-        scale = float(cfg.scale_factor ** level)
-        oct_all.append(jnp.full((k1,), level, dtype=jnp.int32))
-        size_all.append(jnp.full((k1,), cfg.patch_size * scale,
-                                 dtype=jnp.float32))
-        scale_all.append(jnp.full((k1,), scale, dtype=jnp.float32))
-
-    ys = jnp.concatenate(ys_all)          # canvas coordinates
-    xs = jnp.concatenate(xs_all)
-    valid = jnp.concatenate(valid_all)
-    scale = jnp.concatenate(scale_all)
-
-    # One orientation pass + one blur + one descriptor gather.
-    ang = orientation.ic_angles_prefix(canvas, ys, xs)
-    blurred = gaussian_blur(canvas)
-    bits = brief.descriptor_bits(blurred, ys, xs, ang)
-
-    # Canvas rows -> level-local -> level-0 pixel coordinates.
-    row_off = jnp.concatenate([
-        jnp.full((n,), r0, dtype=jnp.int32)
-        for (r0, lh, lw), n in zip(layout, budgets) if n > 0
-    ])
-    ys_local = ys - row_off
-    xy = jnp.stack([xs, ys_local], axis=-1).astype(jnp.float32) * scale[:, None]
-
-    desc_u8 = jnp.where(valid[:, None], brief.pack_bits_u8(bits), 0)
-    desc_u32 = jnp.where(valid[:, None], brief.pack_bits_u32(bits), 0)
-
-    return ORBFeatures(
-        xy=jnp.where(valid[:, None], xy, 0.0),
-        response=jnp.concatenate(resp_all),
-        angle=jnp.where(valid, ang, 0.0),
         octave=jnp.concatenate(oct_all),
         size=jnp.concatenate(size_all),
         desc=desc_u8,

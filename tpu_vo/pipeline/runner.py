@@ -149,10 +149,11 @@ def _streamed_step_fn(cfg: VOConfig):
     (two jitted stages plus per-leaf tree.map slices/concats); on a
     single-core host driving a remote TPU, per-dispatch Python/RPC cost
     dominated the end-to-end number (VERDICT r2 weak #1). The carry is
-    donated — its buffer is recycled into the next chunk's carry.
+    NOT donated: the initial all-invalid carry is a cached constant
+    (donating it once would poison the cache).
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @jax.jit
     def step(carry, chunk, base, offset):
         feats = jax.vmap(
             functools.partial(detect_and_compute, cfg=cfg.orb))(chunk)
@@ -195,10 +196,12 @@ def _streamed_tail_fn(cfg: VOConfig):
     return tail
 
 
+@functools.lru_cache(maxsize=None)
 def _empty_features(cfg: VOConfig):
     """All-invalid ORBFeatures batch of size 1 (the pre-first-frame carry;
     its dummy pair is dropped, matching the reference's first-frame
-    early-return at visual_odometry.cpp:327-337)."""
+    early-return at visual_odometry.cpp:327-337). Cached: building it
+    eagerly is ~16 device ops — real latency on a remote-TPU host."""
     from tpu_vo.pipeline.step import initial_state
 
     empty = initial_state(cfg).prev

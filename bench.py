@@ -130,7 +130,9 @@ def _bench_e2e(frames_np, cfg):
         for i, f in enumerate(frames_np):
             cv2.imwrite(f"{tmp}/{i:06d}.png", f)
 
-        chunk = 16
+        # chunk=64: fewer wire transactions on the tunnel-bound e2e path
+        # (benchmarks/io_decomposition.json: c64 58 fps vs c16 40)
+        chunk = min(64, len(frames_np))
         T = (len(frames_np) // chunk) * chunk
 
         def chunks(ds):

@@ -104,7 +104,7 @@ def match_rate(f0, f1, subset_idx):
     return float(ok[subset_idx].mean())
 
 
-def run_resolution(W, H, n_feat, T=32):
+def run_resolution(W, H, n_feat, T=32, frame_chunk=8, pair_chunk=None):
     import jax
 
     from tpu_vo.configs import ORBConfig, VOConfig
@@ -157,7 +157,8 @@ def run_resolution(W, H, n_feat, T=32):
                        orb=ORBConfig(n_features=n_feat,
                                      retain_best_keep_ties=kt))
         run = jax.jit(lambda f, c=cfg: run_sequence_batched(
-            f, c, frame_chunk=8, pair_chunk=T - 1))
+            f, c, frame_chunk=frame_chunk,
+            pair_chunk=pair_chunk or T - 1))
         out = run(frames)
         rep = trajectory_report(np.asarray(out[0].t), None, np.stack(ts))
         res[f"ate_vs_gt_rel_keepties_{kt}"] = rep.get("ate_vs_gt_rel")
@@ -177,8 +178,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    out = [run_resolution(640, 480, 1000),
-           run_resolution(1241, 376, 2000)]
+    # benchmark-config shapes (reuse the persistent compile cache)
+    out = [run_resolution(640, 480, 1000, T=96, pair_chunk=95),
+           run_resolution(1241, 376, 2000, T=64, pair_chunk=9)]
     dst = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "benchmarks", "keepties_diag.json")
     with open(dst, "w") as f:

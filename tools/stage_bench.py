@@ -380,26 +380,12 @@ def bench_ablate(levels):
     def full(img):
         return orbmod.detect_and_compute(img, CFG)
 
-    def full_no_blur(img):
-        # full pipeline but descriptors sampled from UNblurred levels —
-        # isolates the blur cost inside the real graph
-        import tpu_vo.image.filters as filt
-        orig = filt.gaussian_blur
-        try:
-            filt.gaussian_blur = lambda x, *a, **k: x
-            orbmod.gaussian_blur = filt.gaussian_blur
-            return orbmod.detect_and_compute(img, CFG)
-        finally:
-            filt.gaussian_blur = orig
-            orbmod.gaussian_blur = orig
-
     stages = [
         ("pyramid", pyramid_only),
         ("+fast", thru_fast),
         ("+topk", thru_topk),
         ("+harris", thru_harris),
         ("+orientation", thru_orientation),
-        ("full-noblur", full_no_blur),
         ("full", full),
     ]
     prev = 0.0

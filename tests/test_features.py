@@ -162,13 +162,18 @@ def test_orb_end_to_end_parity(rng):
 
 
 @pytest.mark.slow
-def test_retain_best_keep_ties_overlap(rng):
+@pytest.mark.parametrize("h,w,n_feat", [(240, 320, 1200), (376, 1241, 2000)])
+def test_retain_best_keep_ties_overlap(rng, h, w, n_feat):
     """retain_best_keep_ties emulates cv::KeyPointsFilter::retainBest's
     keep-ties stage-1 cut; keypoint-set overlap vs cv2 must not drop and
     the measured overlap numbers document the tie-semantics deviation
-    (VERDICT r1 item 10, visual_odometry.cpp:65-67 config)."""
-    img = textured_image(rng, 240, 320)
-    orb_cv = cv2.ORB_create(1200, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE,
+    (VERDICT r1 item 10 / r2 next #3, visual_odometry.cpp:65-67 config).
+    The 376x1241 row pins the KITTI benchmark resolution where the
+    keep-ties seed bimodality lives (docs/DESIGN.md "Keep-ties"); on the
+    TPU Pallas path the measured overlaps are 0.902 (False) / 0.921
+    (True) there (benchmarks/keepties_diag.json)."""
+    img = textured_image(rng, h, w)
+    orb_cv = cv2.ORB_create(n_feat, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE,
                             31, 10)
     kps_cv, _ = orb_cv.detectAndCompute(img, None)
     cv_set = {(int(round(k.pt[0] * 4)), int(round(k.pt[1] * 4)), k.octave)
@@ -177,7 +182,8 @@ def test_retain_best_keep_ties_overlap(rng):
     overlaps = {}
     for keep_ties in (False, True):
         f = detect_and_compute(
-            jnp.asarray(img), ORBConfig(retain_best_keep_ties=keep_ties))
+            jnp.asarray(img),
+            ORBConfig(n_features=n_feat, retain_best_keep_ties=keep_ties))
         valid = np.asarray(f.valid)
         xy = np.asarray(f.xy)
         oct_ = np.asarray(f.octave)

@@ -37,11 +37,15 @@ class ORBConfig:
     # OpenCV's KeyPointsFilter::retainBest keeps score TIES at the cutoff
     # (so its stage-1 FAST cut can pass more than 2n candidates to Harris
     # ranking; integer FAST scores tie often). True emulates the keep-ties
-    # cut within a 4n fixed candidate capacity — cv2-faithful, and
-    # measured 2x better ATE on the 640x480 benchmark (1.0% -> 0.54% of
-    # extent) at ~2% throughput cost; but it also measured 0.2% -> 3.2%
-    # WORSE on the 1241x376/2k-kps config (sequence-sensitive, both
-    # within RANSAC chain noise). False (default) truncates to exactly 2n
+    # cut within a 4n fixed candidate capacity — the strict-parity mode
+    # (keypoint-set overlap vs cv2.ORB_create is equal or higher than
+    # False at both benchmark resolutions; benchmarks/keepties_diag.json).
+    # Default is False for ROBUSTNESS, not parity: the root cause of the
+    # once-mysterious "0.2% -> 3.2% ATE at 1241x376" is a bimodal RANSAC
+    # failure mode, not a systematic accuracy loss — over 5 RANSAC seeds
+    # keep-ties ATE is {0.20, 0.22, 0.33, 3.17, 3.18}% while False is a
+    # tight 0.15-0.21% (benchmarks/keepties_seed_sweep.json; full root
+    # cause in docs/DESIGN.md "Keep-ties"). False truncates to exactly 2n
     # with ties chosen by bit-reversed index (deterministic, spatially
     # uniform — see ops/select_pallas._bit_reverse).
     retain_best_keep_ties: bool = False

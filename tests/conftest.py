@@ -2,14 +2,23 @@
 
 Tests must run without TPU hardware; multi-chip sharding tests use the
 virtual device mesh. These env vars must be set before jax initializes.
+
+TPU_VO_TEST_TPU=1 opts OUT of the CPU override and runs the suite on the
+machine's default (TPU) backend instead — that is how the TPU-gated tests
+(test_stage1_approx.py, test_pallas_shapes.test_select_lowers_on_tpu)
+execute; under the default CPU platform they self-skip.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-# Golden-parity tests compare against OpenCV's float64 math; the production
-# TPU path is float32/bfloat16 (all tpu_vo code is dtype-polymorphic).
-os.environ["JAX_ENABLE_X64"] = "1"
+_ON_TPU = os.environ.get("TPU_VO_TEST_TPU") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # Golden-parity tests compare against OpenCV's float64 math; the
+    # production TPU path is float32/bfloat16 (all tpu_vo code is
+    # dtype-polymorphic).
+    os.environ["JAX_ENABLE_X64"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,8 +29,9 @@ import jax
 
 # jax may already be imported (and pointed at an accelerator) by site
 # customization before this conftest runs, so override via config too.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the pipeline graphs (8-level ORB + RANSAC)
 # are expensive to compile on CPU; cache them across test runs.

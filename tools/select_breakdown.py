@@ -37,7 +37,7 @@ def main():
     import functools
     # the axon tunnel round-trip (~35 ms) floors wall-time at
     # reps=32; amortize it to <0.2 ms per measurement
-    device_time_ms = functools.partial(_dt, reps=256, iters=3)
+    device_time_ms = functools.partial(_dt, reps=1024, iters=3)
     from tpu_vo.configs import ORBConfig
     from tpu_vo.features.orb import features_per_level
     from tpu_vo.image.pyramid import build_pyramid

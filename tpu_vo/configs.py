@@ -49,6 +49,22 @@ class ORBConfig:
     # with ties chosen by bit-reversed index (deterministic, spatially
     # uniform — see ops/select_pallas._bit_reverse).
     retain_best_keep_ties: bool = False
+    # Stage-1 candidate cut over the pooled packed map. lax.top_k lowers
+    # to a FULL SORT on TPU (0.144 ms at the 1241x376 level-0 shape ==
+    # jnp.sort's 0.147; benchmarks/topk_micro.json). With False the cut
+    # instead uses lax.approx_max_k (TPU ApproxTopK, 0.039 ms) as a SET
+    # prefilter and re-reads the exact int32 packed keys at the returned
+    # positions — candidate order within the cut never matters because
+    # stage 2 re-ranks by Harris response. The only semantic change is
+    # membership at the 2n-th-score boundary: ApproxTopK's bin-max can
+    # drop a true boundary candidate (recall_target=0.95) and float32
+    # rounding of the packed key collapses tie-break bits below 2^-24 —
+    # both touch only equal-or-near-tied FAST scores at the cutoff, the
+    # same boundary already documented as tie-order-unspecified vs
+    # OpenCV (docs/ROADMAP.md "Known wobbles"). Forced True when
+    # retain_best_keep_ties is set: the keep-ties threshold needs the
+    # exact 2n-th value, which only a sorted exact cut provides.
+    stage1_exact_topk: bool = False
 
     @property
     def harris_block_size(self) -> int:

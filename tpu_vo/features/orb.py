@@ -96,7 +96,17 @@ def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
         hp2, wp = packed.shape
         pooled = packed.reshape(hp2, wp // 2, 2).max(-1).reshape(-1)
         k_red = min(k2, pooled.shape[0])
-        v, _ = jax.lax.top_k(pooled, k_red)
+        if cfg.retain_best_keep_ties or cfg.stage1_exact_topk:
+            # exact sorted cut (keep-ties needs the exact 2n-th value)
+            v, _ = jax.lax.top_k(pooled, k_red)
+        else:
+            # ApproxTopK prefilter (3.7x faster than the full sort top_k
+            # lowers to — benchmarks/topk_micro.json); exact int32 keys
+            # re-read at the returned positions. Unordered — stage 2
+            # re-ranks by Harris. See ORBConfig.stage1_exact_topk.
+            _, i_pre = jax.lax.approx_max_k(
+                pooled.astype(jnp.float32), k_red, recall_target=0.95)
+            v = pooled[i_pre]
         if k_red < k2:
             v = jnp.pad(v, (0, k2 - k_red))
         from tpu_vo.ops.select_pallas import _bit_reverse

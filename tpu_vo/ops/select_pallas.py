@@ -91,13 +91,47 @@ def _lane_rolls(tile, shifts):
     return out
 
 
-def _select_kernel(img_ref, packed_ref, harris_ref, *, threshold, h, w,
-                   w_pad, border, idx_bits, rt):
-    """img block: (rt + 2*HALO, w_pad) f32; outputs for the center rt
-    rows: packed (rt//2, w_pad) int32, harris (rt, w_pad) f32."""
-    r0 = pl.program_id(1) * rt              # first center row (global)
+def _select_kernel(img_ref, packed_ref, harris_ref, buf, sems, *,
+                   threshold, h, w, w_pad, border, idx_bits, rt, b, n_bands):
+    """img_ref: the whole padded (b, h_pad + 2*HALO, w_pad) f32 image in
+    HBM (memory_space=ANY); outputs for the center rt rows of band r:
+    packed (rt//2, w_pad) int32, harris (rt, w_pad) f32.
 
-    raw = img_ref[0, 0]                     # (rt + 8, w_pad) f32
+    The overlapping haloed row bands are fetched with double-buffered
+    async DMA (same idiom as ops/patch_pallas) instead of a pre-stacked
+    copy: BlockSpec index maps scale by the block shape, so overlapping
+    reads cannot be expressed as input blocks, and the XLA-side stack
+    used to cost 0.24 ms/frame of pure HBM write+read traffic
+    (benchmarks/select_breakdown.json)."""
+    bi = pl.program_id(0)
+    r = pl.program_id(1)
+    r0 = r * rt                             # first center row (global)
+
+    def band_dma(bi_, r_, slot):
+        # start row r_*rt is a multiple of rt (16-multiple); rt + 2*HALO
+        # is a multiple of 8: both DMA-aligned
+        return pltpu.make_async_copy(
+            img_ref.at[bi_, pl.ds(r_ * rt, rt + 2 * HALO), :],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    gstep = bi * n_bands + r                # global grid step
+    slot = gstep % 2                        # weak-typed literal: stays int32 under x64
+
+    @pl.when(gstep == 0)
+    def _():
+        band_dma(0, 0, 0).start()
+
+    @pl.when(gstep + 1 < b * n_bands)
+    def _():
+        nxt_wraps = r + 1 >= n_bands
+        r2 = jnp.where(nxt_wraps, 0, r + 1)
+        bi2 = jnp.where(nxt_wraps, bi + 1, bi)
+        band_dma(bi2, r2, (gstep + 1) % 2).start()
+
+    band_dma(bi, r, slot).wait()
+    raw = buf[slot]                         # (rt + 8, w_pad) f32
 
     # ---------------- FAST margins (f32 in-VMEM) ------------------------
     # (bf16 would halve VMEM traffic but Mosaic's lane-rotate requires
@@ -211,21 +245,19 @@ def _build_call(b, h, w, threshold, border, idx_bits):
     h_pad = -(-h_even // rt) * rt
     grid = (b, h_pad // rt)
 
+    n_bands = h_pad // rt
     kernel = functools.partial(
         _select_kernel, threshold=threshold, h=h, w=w, w_pad=w_pad,
-        border=border, idx_bits=idx_bits, rt=rt,
+        border=border, idx_bits=idx_bits, rt=rt, b=b, n_bands=n_bands,
     )
 
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # bands are pre-stacked with overlapping halos (BlockSpec
-            # index maps scale by the block shape, so overlapping reads
-            # cannot be expressed directly)
-            pl.BlockSpec((1, 1, rt + 2 * HALO, w_pad),
-                         lambda bi, r: (bi, r, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # whole padded image stays in HBM; the kernel DMAs each
+            # overlapping haloed band itself (double-buffered)
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, rt // 2, w_pad),
@@ -239,23 +271,19 @@ def _build_call(b, h, w, threshold, border, idx_bits):
             jax.ShapeDtypeStruct((b, h_pad // 2, w_pad), jnp.int32),
             jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, rt + 2 * HALO, w_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
-    n_bands = h_pad // rt
-
     def run(imgs):
-        # halo rows top+bottom; right lane padding to the 128 multiple;
-        # then overlapping (ROW_TILE + 2*HALO)-row bands stacked on a new
-        # axis so each grid step gets its own haloed copy.
+        # halo rows top+bottom; right lane padding to the 128 multiple
         imgs_p = jnp.pad(
             imgs.astype(jnp.float32),
             ((0, 0), (HALO, h_pad - h + HALO), (0, w_pad - w)),
         )
-        bands = jnp.stack(
-            [jax.lax.slice_in_dim(imgs_p, r * rt,
-                                  r * rt + rt + 2 * HALO, axis=1)
-             for r in range(n_bands)], axis=1)
-        return call(bands)
+        return call(imgs_p)
 
     return run
 

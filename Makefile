@@ -18,6 +18,12 @@ native: configure
 test:
 	python -m pytest tests/ -x -q
 
+# pytest-xdist across cores; pointless on a 1-core host (this box) but
+# cuts the slow full-pipeline compiles on multi-core machines. The
+# persistent compile cache (tests/.jax_cache) is shared via the fs.
+test-par:
+	python -m pytest tests/ -x -q -n auto
+
 bench:
 	python bench.py
 

@@ -44,19 +44,19 @@ from tpu_vo.pipeline.step import estimate_pair
 from tpu_vo.utils.profiling import fence
 
 
-def timeit(fn, *args, iters=8, warmup=2, batch=1):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    fence(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    fence(out)
-    return (time.perf_counter() - t0) / iters / batch * 1e3
+def timeit(fn, *args, batch=1, reps=64):
+    """Per-frame ms via the single-dispatch fori_loop harness.
+
+    Host-clock-per-dispatch timing is useless over the remote-TPU tunnel
+    (~30 ms dispatch floor dwarfs every stage); tools/device_time runs
+    `reps` iterations inside ONE dispatch so the floor amortizes away.
+    """
+    from tools.device_time import device_time_ms
+
+    return device_time_ms(jax.jit(fn), *args, reps=reps, iters=3) / batch
 
 
-def profile(W, H, n_feat, ratio, B, max_iters=256):
+def profile(W, H, n_feat, ratio, B, max_iters=256, reps=64):
     cfg = VOConfig(image_width=W, image_height=H,
                    orb=ORBConfig(n_features=n_feat),
                    match=MatchConfig(use_ratio_test=ratio),
@@ -66,9 +66,9 @@ def profile(W, H, n_feat, ratio, B, max_iters=256):
     res = {"shape": f"{W}x{H}", "kps": n_feat, "batch": B}
 
     res["pyramid_ms"] = timeit(
-        jax.jit(jax.vmap(lambda im: build_pyramid(
+        jax.vmap(lambda im: build_pyramid(
             im.astype(jnp.float32), cfg.orb.n_levels,
-            cfg.orb.scale_factor))), imgs, batch=B)
+            cfg.orb.scale_factor)), imgs, batch=B, reps=reps)
 
     from tpu_vo.features import fast
     if fast._use_pallas():
@@ -82,7 +82,7 @@ def profile(W, H, n_feat, ratio, B, max_iters=256):
                     for l in ls]
 
         res["select_maps_ms"] = timeit(
-            jax.jit(jax.vmap(sel_maps)), imgs, batch=B)
+            jax.vmap(sel_maps), imgs, batch=B, reps=reps)
 
         from tpu_vo.features.orb import _select_level_keypoints
 
@@ -96,11 +96,11 @@ def profile(W, H, n_feat, ratio, B, max_iters=256):
                     for l, n in zip(ls, budgets) if n > 0]
 
         res["select_plus_topk_ms"] = timeit(
-            jax.jit(jax.vmap(sel_full)), imgs, batch=B)
+            jax.vmap(sel_full), imgs, batch=B, reps=reps)
 
     res["frontend_ms"] = timeit(
-        jax.jit(jax.vmap(lambda im: detect_and_compute(im, cfg.orb))),
-        imgs, batch=B)
+        jax.vmap(lambda im: detect_and_compute(im, cfg.orb)),
+        imgs, batch=B, reps=reps)
 
     feats = jax.jit(jax.vmap(
         lambda im: detect_and_compute(im, cfg.orb)))(imgs)
@@ -109,14 +109,14 @@ def profile(W, H, n_feat, ratio, B, max_iters=256):
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i))(
         jnp.arange(1, B, dtype=jnp.int32))
     res["pair_ms"] = timeit(
-        jax.jit(jax.vmap(lambda p, c, k: estimate_pair(p, c, k, cfg))),
-        prev, cur, keys, batch=B - 1)
+        jax.vmap(lambda p, c, k: estimate_pair(p, c, k, cfg)),
+        prev, cur, keys, batch=B - 1, reps=reps)
     return res
 
 
 def main():
-    base = profile(1241, 376, 1200, False, 8)
-    hi = profile(3840, 2160, 8000, True, 2)
+    base = profile(1241, 376, 1200, False, 8, reps=128)
+    hi = profile(3840, 2160, 8000, True, 2, reps=16)
     px = (3840 * 2160) / (1241 * 376)
     kp = 8000 / 1200
     model = {

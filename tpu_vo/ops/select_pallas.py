@@ -45,11 +45,22 @@ HARRIS_K = 0.04
 HARRIS_BLOCK = 7
 
 
+# Scoped-VMEM (kernel stack) limit handed to Mosaic. The default 16 MB
+# cannot hold the arc-window form's peak (d[16] + pair tiles[16] +
+# accumulators) at full 4K lane width even at the minimum 16-row tile
+# (measured 17.31 MB at 16 x 3840). Selection runs one grid step per
+# core at a time, so a bigger stack costs nothing — it just has to fit
+# v5e's 128 MB physical VMEM alongside the in/out blocks and the DMA
+# scratch bands.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
 def _row_tile(w_pad: int) -> int:
     """Largest even-multiple-of-8 row tile whose in-kernel temporaries fit
-    scoped VMEM. Measured: ~150 bytes of live temps per (row, lane) at the
-    peak (16 f32 circle-diff tiles + Harris products); budget 14 MB."""
-    rows = int(14e6 / (w_pad * 150))
+    the raised scoped-VMEM limit. Mosaic's own stack-OOM reports give the
+    arc-window form's peak: 17.31 MB at (16+2 rows x 3840 lanes) ~ 250
+    bytes per (row, lane); budget 48 MB against the 64 MB _VMEM_LIMIT."""
+    rows = int(48e6 / (w_pad * 250))
     # multiples of 16 so the packed (rt // 2)-row output block stays
     # 8-sublane aligned
     return max(16, min(64, ((rows - 2) // 16) * 16))
@@ -148,21 +159,27 @@ def _select_kernel(img_ref, packed_ref, harris_ref, buf, sems, *,
         shifted = rolled[dx][s_lo + dy:s_lo + dy + s_n]
         d.append(center - shifted)
 
-    def arc_max_min(ds, neg):
-        # sequential per-arc mins: ~2x the min-ops of the shared tree but
-        # half the peak VMEM (the tree keeps 5x16 full tiles live, which
-        # overflows the 16MB scoped VMEM at full lane width)
+    def arc_window(ds, op, combine):
+        # circular 9-wide sliding-window reduce via shared pair tiles:
+        # w2[k] = op(d[k], d[k+1]), then each 9-window is op of four w2
+        # tiles + one d tile (80 elementwise passes vs 128 for the naive
+        # per-arc form; the full doubling tree would need d+w2+w4 = 48
+        # tiles live, which overflows scoped VMEM at full lane width —
+        # this keeps at most d(16)+w2(16)+acc live).
+        w2 = [op(ds[k], ds[(k + 1) % 16]) for k in range(16)]
         out = None
         for k in range(16):
-            m = ds[k]
-            for j in range(1, 9):
-                m = jnp.minimum(m, ds[(k + j) % 16])
-            out = m if out is None else jnp.maximum(out, m)
+            m = op(op(w2[k], w2[(k + 2) % 16]),
+                   op(w2[(k + 4) % 16], w2[(k + 6) % 16]))
+            m = op(m, ds[(k + 8) % 16])
+            out = m if out is None else combine(out, m)
         return out
 
-    dark = arc_max_min(d, False)
-    neg = [-x for x in d]
-    bright = arc_max_min(neg, True)
+    # dark: max over arcs of (min over the 9-arc window of d)
+    dark = arc_window(d, jnp.minimum, jnp.maximum)
+    # bright: max_k min_window(-d) == -(min_k max_window(d)) — computed
+    # on d directly, saving 16 negation passes and 16 live tiles
+    bright = -arc_window(d, jnp.maximum, jnp.minimum)
     margin = jnp.maximum(dark, bright)
     thr = jnp.float32(threshold)
     corner = margin > thr
@@ -275,6 +292,8 @@ def _build_call(b, h, w, threshold, border, idx_bits):
             pltpu.VMEM((2, rt + 2 * HALO, w_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )
 
     def run(imgs):

@@ -97,3 +97,45 @@ def test_extract_patches_pallas_matches_xla_interpret(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(extract_patches_pallas(img, ys, xs))
     np.testing.assert_array_equal(got[:, :43, :], ref)
+
+
+def test_nested_vmap_collapses_to_kernel_batch(rng):
+    """DP-runner regression (round 3): stacking vmaps (sequences x frames,
+    as run_batch_of_sequences does over _chunked_map) must collapse into
+    the kernels' batch grid axis. The default Pallas batching rule cannot
+    add a dimension to the ANY-space HBM operands the DMA kernels read
+    (select band fetch, patch extraction), so without the recursive
+    custom_vmap rules this raises a lowering ValueError on TPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_vo.ops.fast_pallas import fast_margin_pallas
+    from tpu_vo.ops.patch_pallas import extract_patches_pallas
+    from tpu_vo.ops.select_pallas import fused_select_maps
+
+    h, w = 96, 200
+    B, F = 2, 3
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (B, F, h, w)).astype(np.float32))
+    flat = imgs.reshape(B * F, h, w)
+
+    with pltpu.force_tpu_interpret_mode():
+        sel = lambda im: fused_select_maps(im, 10, 31)[0]
+        nested = jax.vmap(jax.vmap(sel))(imgs)
+        ref = jax.vmap(sel)(flat)
+        np.testing.assert_array_equal(
+            np.asarray(nested).reshape(ref.shape), np.asarray(ref))
+
+        n = 9
+        ys = jnp.asarray(rng.integers(31, h - 31, (B, F, n)), jnp.int32)
+        xs = jnp.asarray(rng.integers(31, w - 31, (B, F, n)), jnp.int32)
+        nested = jax.vmap(jax.vmap(extract_patches_pallas))(imgs, ys, xs)
+        ref = jax.vmap(extract_patches_pallas)(
+            flat, ys.reshape(B * F, n), xs.reshape(B * F, n))
+        np.testing.assert_array_equal(
+            np.asarray(nested).reshape(ref.shape), np.asarray(ref))
+
+        fm = lambda im: fast_margin_pallas(im, 10)[0]
+        nested = jax.vmap(jax.vmap(fm))(imgs)
+        ref = jax.vmap(fm)(flat)
+        np.testing.assert_array_equal(
+            np.asarray(nested).reshape(ref.shape), np.asarray(ref))

@@ -123,15 +123,29 @@ def _margin_call(imgs: jax.Array, threshold: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_margin_fn(threshold: int):
+    # Batched form is itself custom_vmap-wrapped so nested vmaps collapse
+    # into the kernel batch axis (see select_pallas._make_select_fn).
+    @jax.custom_batching.custom_vmap
+    def fb(imgs):
+        return _margin_call(imgs, threshold)
+
+    @fb.def_vmap
+    def _fb_rule(axis_size, in_batched, imgs):
+        del in_batched
+        b, h, w = imgs.shape[1], imgs.shape[2], imgs.shape[3]
+        s, c = fb(imgs.reshape(axis_size * b, h, w))
+        return (s.reshape(axis_size, b, h, w),
+                c.reshape(axis_size, b, h, w)), (True, True)
+
     @jax.custom_batching.custom_vmap
     def f(img):
-        s, c = _margin_call(img[None], threshold)
+        s, c = fb(img[None])
         return s[0], c[0]
 
     @f.def_vmap
     def _rule(axis_size, in_batched, img):
         del axis_size, in_batched
-        return _margin_call(img, threshold), (True, True)
+        return fb(img), (True, True)
 
     return f
 

@@ -122,14 +122,31 @@ def _build_call(b, h, w, n):
 
 @functools.lru_cache(maxsize=None)
 def _make_fn(h, w, n):
+    # Batched form is itself custom_vmap-wrapped so stacked vmaps
+    # (sequences x frames in the DP runner) collapse into the kernel's
+    # batch grid axis — the ANY-space HBM image operand cannot be batched
+    # by the default Pallas rule. Mirrors select_pallas._make_select_fn.
+    @jax.custom_batching.custom_vmap
+    def fb(imgs, ys, xs):                             # (b, h, w), (b, n)x2
+        return _build_call(imgs.shape[0], h, w, n)(imgs, ys, xs)
+
+    @fb.def_vmap
+    def _fb_rule(axis_size, in_batched, imgs, ys, xs):
+        del in_batched
+        b = imgs.shape[1]
+        out = fb(imgs.reshape(axis_size * b, h, w),
+                 ys.reshape(axis_size * b, n),
+                 xs.reshape(axis_size * b, n))
+        return out.reshape(axis_size, b, *out.shape[1:]), True
+
     @jax.custom_batching.custom_vmap
     def f(img, ys, xs):
-        return _build_call(1, h, w, n)(img[None], ys[None], xs[None])[0]
+        return fb(img[None], ys[None], xs[None])[0]
 
     @f.def_vmap
     def _rule(axis_size, in_batched, img, ys, xs):
-        del in_batched
-        return _build_call(axis_size, h, w, n)(img, ys, xs), True
+        del axis_size, in_batched
+        return fb(img, ys, xs), True
 
     return f
 

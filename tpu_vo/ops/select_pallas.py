@@ -311,19 +311,37 @@ def _build_call(b, h, w, threshold, border, idx_bits):
 def _make_select_fn(h, w, threshold, border, idx_bits):
     """custom_vmap wrapper routing jax.vmap onto the kernel's batch grid
     axis (the default Pallas vmap rule would put the batch inside the 2D
-    block and break the (8, 128) tiling)."""
+    block and break the (8, 128) tiling — and cannot batch the ANY-space
+    HBM operand the DMA band fetch reads from at all).
+
+    Nested vmaps (e.g. the DP runner's vmap over sequences on top of
+    _chunked_map's vmap over frames) collapse recursively: the batched
+    form `fb` is itself custom_vmap-wrapped, so each extra layer reshapes
+    into the kernel's single batch axis instead of hitting the default
+    Pallas batching rule."""
+
+    @jax.custom_batching.custom_vmap
+    def fb(imgs):                                     # (b, h, w)
+        run = _build_call(imgs.shape[0], h, w, threshold, border, idx_bits)
+        return run(imgs)
+
+    @fb.def_vmap
+    def _fb_rule(axis_size, in_batched, imgs):        # (axis, b, h, w)
+        del in_batched
+        b = imgs.shape[1]
+        p, hr = fb(imgs.reshape(axis_size * b, h, w))
+        return (p.reshape(axis_size, b, *p.shape[1:]),
+                hr.reshape(axis_size, b, *hr.shape[1:])), (True, True)
 
     @jax.custom_batching.custom_vmap
     def f(img):
-        run = _build_call(1, h, w, threshold, border, idx_bits)
-        p, hr = run(img[None])
+        p, hr = fb(img[None])
         return p[0], hr[0]
 
     @f.def_vmap
     def _rule(axis_size, in_batched, img):
-        del in_batched
-        run = _build_call(axis_size, h, w, threshold, border, idx_bits)
-        return run(img), (True, True)
+        del axis_size, in_batched
+        return fb(img), (True, True)
 
     return f
 

@@ -44,6 +44,31 @@ def fence(tree):
 _SEQ_CACHE: dict = {}
 
 
+def sustained_and_wall_fps(run, frames, n_frames, reps):
+    """(device-sustained fps, one-shot wall fps) for a jittable run.
+
+    Round 3 found config 3's recorded 11.4 fps was a tunnel artifact:
+    the one-shot `t0; out = run(f); fence(out)` wall time carried ~570 ms
+    of remote-dispatch overhead on a 128 ms device program
+    (tools/probe_4k_gap.py). The headline number is now measured like
+    every kernel in this repo: R reps inside one dispatch via the
+    fori_loop harness (tools/device_time), dividing out the tunnel. The
+    one-shot wall fps is kept alongside so the dispatch overhead stays
+    visible — on a local-PCIe host the two converge.
+    """
+    from tools.device_time import device_time_ms
+
+    ms = device_time_ms(run, frames, reps=reps, iters=3)
+
+    out = run(frames)
+    fence(out)
+    t0 = time.perf_counter()
+    out = run(frames)
+    fence(out)
+    wall = n_frames / (time.perf_counter() - t0)
+    return n_frames / ms * 1e3, wall, out
+
+
 def ref_with_band(W, H, frames_np, k=5):
     """OpenCV reference trajectory plus its own RANSAC scatter band.
 
@@ -115,16 +140,13 @@ def run_config_1(frames_override=None):
     frames = jax.device_put(np.stack(frames_np))
     run = jax.jit(lambda f: run_sequence_batched(f, cfg, frame_chunk=8,
                                                  pair_chunk=T - 1))
-    fence(run(frames))
-    t0 = time.perf_counter()
-    out = run(frames)
-    fence(out)
-    fps = T / (time.perf_counter() - t0)
+    fps, wall_fps, out = sustained_and_wall_fps(run, frames, T, reps=4)
 
     traj = np.asarray(out[0].t)
     res = {
         "config": "1_short_mono_640x480_1k",
         "frames_per_sec_chip": round(fps, 2),
+        "one_shot_wall_fps": round(wall_fps, 2),
         "vs_opencv_reference": round(fps / ref_fps, 2),
     }
     res.update(trajectory_report(traj, traj_ref, np.stack(ts)))
@@ -146,16 +168,13 @@ def run_config_2(frames_override=None):
     frames = jax.device_put(np.stack(frames_np))
     run = jax.jit(lambda f: run_sequence_batched(f, cfg, frame_chunk=8,
                                                  pair_chunk=9))
-    fence(run(frames))
-    t0 = time.perf_counter()
-    out = run(frames)
-    fence(out)
-    fps = T / (time.perf_counter() - t0)
+    fps, wall_fps, out = sustained_and_wall_fps(run, frames, T, reps=4)
 
     traj_ref, band, _ = ref_with_band(W, H, frames_np)
     res = {
         "config": "2_kitti_1241x376_2k",
         "frames_per_sec_chip": round(fps, 2),
+        "one_shot_wall_fps": round(wall_fps, 2),
     }
     res.update(trajectory_report(np.asarray(out[0].t), traj_ref,
                                  np.stack(ts)))
@@ -180,14 +199,11 @@ def run_config_3(frames_override=None):
     frames = jax.device_put(np.stack(frames_np))
     run = jax.jit(lambda f: run_sequence_batched(f, cfg, frame_chunk=2,
                                                  pair_chunk=T - 1))
-    fence(run(frames))
-    t0 = time.perf_counter()
-    out = run(frames)
-    fence(out)
-    fps = T / (time.perf_counter() - t0)
+    fps, wall_fps, out = sustained_and_wall_fps(run, frames, T, reps=8)
     res = {
         "config": "3_highdensity_4k_8k_ratio",
         "frames_per_sec_chip": round(fps, 2),
+        "one_shot_wall_fps": round(wall_fps, 2),
     }
     # 8 frames is too short for a meaningful ATE; report GT accuracy only.
     res.update(trajectory_report(np.asarray(out[0].t), None, np.stack(ts)))
@@ -216,13 +232,9 @@ def run_config_4(frames_override=None):
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev, 1), ("data", "seq"))
 
-    fence(run_batch_of_sequences(frames, cfg, mesh, frame_chunk=8,
-                                 pair_chunk=T - 1))
-    t0 = time.perf_counter()
-    out = run_batch_of_sequences(frames, cfg, mesh, frame_chunk=8,
-                                 pair_chunk=T - 1)
-    fence(out)
-    fps = B * T / (time.perf_counter() - t0)
+    run = jax.jit(lambda f: run_batch_of_sequences(
+        f, cfg, mesh, frame_chunk=8, pair_chunk=T - 1))
+    fps, wall_fps, out = sustained_and_wall_fps(run, frames, B * T, reps=2)
 
     # Accuracy on sequence 0 of the batch vs the OpenCV reference.
     traj_ref, band, _ = ref_with_band(W, H, seqs[0])
@@ -230,6 +242,7 @@ def run_config_4(frames_override=None):
         "config": "4_batched_8seq_sharded",
         "frames_per_sec_total": round(fps, 2),
         "frames_per_sec_chip": round(fps / n_dev, 2),
+        "one_shot_wall_fps": round(wall_fps, 2),
         "devices": n_dev,
     }
     res.update(trajectory_report(np.asarray(out[0].t[0]), traj_ref, gts[0]))
@@ -281,16 +294,13 @@ def run_config_5(frames_override=None):
                                     est["pose_ok"], cfg)
 
     run = jax.jit(pipeline)
-    fence(run(frames))
-    t0 = time.perf_counter()
-    out = run(frames)
-    fence(out)
-    fps = T / (time.perf_counter() - t0)
+    fps, wall_fps, out = sustained_and_wall_fps(run, frames, T, reps=4)
 
     traj_ref, band, _ = ref_with_band(W, H, frames_np)
     res = {
         "config": "5_window_triangulation_lm",
         "frames_per_sec_chip": round(fps, 2),
+        "one_shot_wall_fps": round(wall_fps, 2),
     }
     res.update(trajectory_report(np.asarray(out.t), traj_ref, np.stack(ts)))
     return parity_verdict(res, band)

@@ -81,3 +81,30 @@ def test_pyramid_levels_close_to_cv2_cascade(rng):
         assert ours.shape == (h, w)
         diff = np.abs(ours.astype(np.int32) - prev.astype(np.int32))
         assert np.mean(diff <= 2) > 0.99, f"level {lvl}: mean diff {diff.mean()}"
+
+
+def test_resize_banded_bit_identical_to_dense(rng):
+    """The block-banded interpolation matmul (used when src > 512) is
+    numerically equivalent to the dense form: the dropped matmul terms
+    are exact float zeros, so any difference comes only from the
+    backend's FMA/reassociation choices for the differently-shaped
+    contraction (~1 ulp at intensity scale on XLA CPU). Sweep shapes
+    that cross the banded threshold on one or both axes, including 4K
+    level-0->1."""
+    from tpu_vo.image import pyramid as P
+
+    cases = [(480, 640, 400, 533), (376, 1241, 313, 1034),
+             (600, 300, 500, 250), (2160, 3840, 1800, 3200),
+             (520, 513, 433, 428)]
+    for h, w, oh, ow in cases:
+        img = jnp.asarray(
+            rng.integers(0, 255, size=(h, w)).astype(np.float32))
+        banded = P.resize_bilinear(img, oh, ow)
+
+        Mr = jnp.asarray(P._resize_matrix(oh, h))
+        Mc = jnp.asarray(P._resize_matrix(ow, w))
+        dense = jnp.einsum("wo,...hw->...ho", Mc,
+                           jnp.einsum("ho,...hw->...ow", Mr, img))
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(dense), atol=1e-3, rtol=0,
+            err_msg=f"{(h, w)} -> {(oh, ow)}")

@@ -157,6 +157,7 @@ def make_corridor_sequence(
     corridor_len: float | None = None,
     half_w: float = 2.5,
     half_h: float = 2.0,
+    pose_fn=None,
 ) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray], np.ndarray]:
     """Forward motion down a textured 4-wall corridor with an end cap.
 
@@ -216,10 +217,15 @@ def make_corridor_sequence(
     frames = []
     Rs, ts = [], []
     for i in range(n_frames):
-        yaw = np.deg2rad(yaw_amp_deg) * np.sin(i / 6.0)
-        cy_, sy_ = np.cos(yaw), np.sin(yaw)
-        R_wc = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
-        t_wc = np.array([sway_x * np.sin(i / 4.0), 0.0, step_z * i])
+        if pose_fn is not None:
+            R_wc, t_wc = pose_fn(i)
+            R_wc = np.asarray(R_wc, np.float64)
+            t_wc = np.asarray(t_wc, np.float64)
+        else:
+            yaw = np.deg2rad(yaw_amp_deg) * np.sin(i / 6.0)
+            cy_, sy_ = np.cos(yaw), np.sin(yaw)
+            R_wc = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+            t_wc = np.array([sway_x * np.sin(i / 4.0), 0.0, step_z * i])
         Rs.append(R_wc)
         ts.append(t_wc)
 
@@ -249,6 +255,39 @@ def make_corridor_sequence(
                                  interpolation=cv2.INTER_AREA))
 
     return frames, Rs, ts, K
+
+
+def make_pan_sequence(
+    n_frames: int = 32,
+    width: int = 640,
+    height: int = 480,
+    seed: int = 0,
+    step_z: float = 0.5,
+    yaw_amp_deg: float = 35.0,
+    yaw_period: float = 10.0,
+) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray], np.ndarray]:
+    """Rotation-rich variant of the corridor: pan while dollying.
+
+    The camera advances down the corridor at step_z while the view yaws
+    through ±yaw_amp_deg (up to ~4°/frame at the default period — flow
+    from rotation dominates flow from translation on the steep parts of
+    the sweep). This exercises the regime the forward-dominant corridor
+    never enters: large inter-frame rotations, strongly asymmetric flow
+    fields, and rotation/translation disambiguation under a sideways
+    view of the near wall. Same conventions and renderer as
+    make_corridor_sequence.
+    """
+
+    def pose(i):
+        yaw = np.deg2rad(yaw_amp_deg) * np.sin(i / yaw_period)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        t_wc = np.array([0.0, 0.0, step_z * i])
+        return R_wc, t_wc
+
+    return make_corridor_sequence(
+        n_frames=n_frames, width=width, height=height, seed=seed,
+        step_z=step_z, pose_fn=pose)
 
 
 def write_dataset(path: str, frames: List[np.ndarray]) -> None:

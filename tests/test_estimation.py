@@ -25,7 +25,7 @@ from tpu_vo.estimation.recover_pose import (
 
 
 def make_scene(rng, n=200, w=640, h=480, angle=0.12, noise_px=0.0,
-               outlier_frac=0.0):
+               outlier_frac=0.0, t_scale=1.0):
     K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], dtype=np.float64)
     axis = rng.normal(size=3)
     axis /= np.linalg.norm(axis)
@@ -33,7 +33,7 @@ def make_scene(rng, n=200, w=640, h=480, angle=0.12, noise_px=0.0,
         se3.rotation_from_axis_angle(jnp.asarray(axis), angle), dtype=np.float64
     )
     t = rng.normal(size=3)
-    t /= np.linalg.norm(t)
+    t *= t_scale / np.linalg.norm(t)
     X = rng.uniform([-3, -2, 4], [3, 2, 14], size=(n, 3))
     x1 = (K @ (X / X[:, 2:3]).T).T[:, :2]
     X2 = (R @ X.T).T + t
@@ -250,6 +250,90 @@ def test_ransac_respects_validity_mask(rng):
     inl = np.asarray(res.inliers)
     assert not inl[100:].any()
     assert inl[:100].sum() > 90
+
+
+def test_ransac_score_modes_agree_when_well_conditioned(rng):
+    """msac (default) and count scoring pick equivalent models on a
+    well-conditioned outlier-contaminated scene."""
+    K, R, t, x1, x2, gt_in = make_scene(rng, n=240, noise_px=0.3,
+                                        outlier_frac=0.25)
+    Kj = jnp.asarray(K)
+    x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), Kj))
+    x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), Kj))
+    thr = pixel_threshold_to_normalized(2.0, Kj)
+    mask = jnp.ones(len(x1), dtype=bool)
+    for score in ("msac", "count"):
+        res = find_essential_ransac(
+            x1n, x2n, mask, jax.random.PRNGKey(3), thr, max_iters=128,
+            score=score,
+        )
+        assert bool(res.success)
+        out = recover_pose_from_essential(res.E, x1n, x2n, res.inliers)
+        ang = np.degrees(float(se3.geodesic_rotation_distance(
+            jnp.asarray(np.asarray(out.R)), jnp.asarray(R))))
+        assert ang < 1.0, f"{score}: rotation error {ang} deg"
+        inl = np.asarray(res.inliers)
+        recall = (inl & gt_in).sum() / gt_in.sum()
+        assert recall > 0.9, f"{score}: inlier recall {recall}"
+
+
+def test_ransac_msac_stable_on_rotation_dominant_pairs():
+    """Rotation-dominant geometry (||t|| << scene depth): flow is nearly
+    homographic, so EVERY hypothesis puts all matches inside the 2 px
+    threshold and inlier counting degenerates to an arbitrary tie-break
+    (10+ deg rotation winners observed). The tight-sigma MSAC score must
+    still identify the true motion, for any PRNG key. Local fixed rng:
+    this regime is geometry-sensitive, so the scene must not depend on
+    test execution order.
+    """
+    for scene_seed in range(3):
+        rng = np.random.default_rng(scene_seed)
+        K, R, t, x1, x2, _ = make_scene(rng, n=200, angle=0.06,
+                                        noise_px=0.2, t_scale=0.05)
+        Kj = jnp.asarray(K)
+        x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), Kj))
+        x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), Kj))
+        thr = pixel_threshold_to_normalized(2.0, Kj)
+        mask = jnp.ones(len(x1), dtype=bool)
+        for key in range(3):
+            res = find_essential_ransac(
+                x1n, x2n, mask, jax.random.PRNGKey(key), thr,
+                max_iters=256,
+            )
+            assert bool(res.success)
+            # the degenerate-regime premise: everything is an inlier
+            assert int(res.num_inliers) > 0.95 * len(x1)
+            out = recover_pose_from_essential(res.E, x1n, x2n, res.inliers)
+            ang = np.degrees(float(se3.geodesic_rotation_distance(
+                jnp.asarray(np.asarray(out.R)), jnp.asarray(R))))
+            assert ang < 1.0, (
+                f"scene {scene_seed} key {key}: rotation error {ang} deg"
+            )
+
+
+def test_recover_pose_breaks_zero_count_ties_by_positive_depth():
+    """Near-zero translation: every triangulated depth exceeds
+    recoverPose's distance_thresh=50, all four candidates' bounded
+    cheirality counts tie at 0, and a first-maximal pick is a coin flip
+    with the 180-deg twisted pair. The unbounded positive-depth
+    tie-break must select the true rotation (cv2 itself only gets this
+    right by decomposition-order luck)."""
+    for scene_seed in range(3):
+        rng = np.random.default_rng(scene_seed)
+        K, R, t, x1, x2, _ = make_scene(rng, n=200, angle=0.06,
+                                        noise_px=0.2, t_scale=0.05)
+        Kj = jnp.asarray(K)
+        x1n = jnp.asarray(camera.normalize_points(jnp.asarray(x1), Kj))
+        x2n = jnp.asarray(camera.normalize_points(jnp.asarray(x2), Kj))
+        E_true = epipolar.essential_from_Rt(
+            jnp.asarray(R), jnp.asarray(t / np.linalg.norm(t)))
+        out = recover_pose_from_essential(
+            E_true, x1n, x2n, jnp.ones(len(x1), dtype=bool))
+        # ties at zero bounded count are the premise here
+        assert int(out.num_valid) == 0
+        ang = np.degrees(float(se3.geodesic_rotation_distance(
+            jnp.asarray(np.asarray(out.R)), jnp.asarray(R))))
+        assert ang < 0.5, f"scene {scene_seed}: rotation error {ang} deg"
 
 
 def test_ransac_jits_and_is_deterministic(rng):

@@ -111,6 +111,23 @@ class RansacConfig:
     max_iters: int = 256
     sample_size: int = 5            # Nister 5-point minimal sample
     use_five_point: bool = True     # False -> normalized 8-point samples of 8
+    # Hypothesis ranking: "msac" (truncated-residual score, the ranking
+    # OpenCV's USAC core behind cv::findEssentialMat actually uses) or
+    # "count" (classic inlier counting). Counting saturates on
+    # rotation-dominant pairs — every hypothesis explains all matches at
+    # 2 px and the argmax tie-break picks arbitrarily bad rotations
+    # (estimation/ransac.py module docstring) — so msac is the default.
+    score_method: str = "msac"
+    # MSAC scores residuals truncated at (scale * threshold_px); inlier
+    # masks and gates keep threshold_px. A sub-threshold scoring sigma is
+    # what disambiguates near-homographic (rotation-dominant) pairs — the
+    # batched equivalent of USAC's shrinking-threshold inner LO. 0.5 is
+    # the measured sweet spot (tools/score_variants_diag.py): 0.25
+    # overfits multi-pixel upper-pyramid keypoint noise at KITTI
+    # resolution (29.8 deg worst-pair translation direction vs 8.5 at
+    # 0.5), while 1.0 under-discriminates pan pairs (p90 rotation error
+    # 8.1 deg vs 1.4 at 0.5).
+    score_sigma_scale: float = 0.5
     min_matches_attempt: int = 8    # visual_odometry.cpp:189
     min_matches_for_pose: int = 10  # kMinMatchesForPose, visual_odometry.cpp:344
     min_inliers: int = 12           # kMinInliers, visual_odometry.cpp:271

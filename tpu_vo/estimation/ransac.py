@@ -14,6 +14,16 @@ TPU-native re-design of the RANSAC loop inside cv::findEssentialMat
   - Scoring is the same Sampson error OpenCV's EMEstimatorCallback uses,
     with the pixel threshold mapped to normalized coordinates via
     thr_norm = thr_px / (0.5 * (fx + fy)), as findEssentialMat does.
+  - Hypothesis ranking defaults to the MSAC score (sum of residuals
+    truncated at the threshold, lower = better) — the score OpenCV's USAC
+    core behind cv::findEssentialMat uses (usac/quality.cpp MsacQuality).
+    Plain inlier *counting* saturates on rotation-dominant pairs: when the
+    camera pans, flow is nearly homographic and MANY essential matrices
+    explain every correspondence within 2 px, so all hypotheses tie at
+    N inliers and argmax picks an arbitrary — often multi-degree-wrong —
+    winner (measured: 10-50 deg rotation spikes on a 320x240 pan scene).
+    MSAC breaks those ties by residual mass and collapses the spikes.
+    score="count" restores classic-RANSAC counting.
 
 The minimal solver is pluggable: Nister 5-point (default, matching OpenCV)
 or 8-point. An optional linear refit on the winning inlier set polishes E
@@ -65,9 +75,46 @@ def _score(E: jax.Array, x1: jax.Array, x2: jax.Array, mask: jax.Array,
     return (err < thr_sq) & mask
 
 
+def _score_msac(E: jax.Array, x1: jax.Array, x2: jax.Array,
+                mask: jax.Array, thr_sq, score_sq):
+    """(inlier mask at thr_sq, MSAC loss at score_sq) of one hypothesis.
+
+    MSAC loss = sum over valid slots of min(sampson, score_sq) — points
+    beyond the scoring threshold contribute exactly score_sq each, so the
+    loss embeds inlier counting and refines it by inlier residual mass
+    (usac/quality.cpp MsacQuality semantics). The loss is evaluated at
+    score_sq <= thr_sq while the returned inlier mask keeps the
+    reference's thr_sq definition: on rotation-dominant pairs a whole
+    family of essential matrices explains every correspondence within
+    2 px (flow is nearly homographic), and only the sub-threshold
+    residual structure identifies the true motion. Scoring below thr is
+    the batched-TPU equivalent of OpenCV USAC's iterated local
+    optimization with a shrinking threshold
+    (usac/local_optimization.cpp) — measured on a 320x240 pan scene it
+    cuts the winning hypothesis's p90 rotation error from ~8 deg (thr
+    scoring) to ~1.4 deg (thr/2) across PRNG keys, without regressing
+    the well-conditioned KITTI-resolution corridor (sigma sweep in
+    tools/score_variants_diag.py; too-tight sigma DOES regress it by
+    overfitting upper-pyramid keypoint noise).
+    """
+    err = sampson_error(E, x1, x2)
+    err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+    inl = (err < thr_sq) & mask
+    loss = jnp.sum(jnp.where(mask, jnp.minimum(err, score_sq), 0.0))
+    # Normalize by consensus size: mean truncated residual per inlier.
+    # The raw sum slightly favors pseudo-outlier-rejecting degenerate
+    # models (dropping the few parallax-carrying points from the 2 px
+    # consensus REMOVES their residual mass); dividing by the count
+    # restores the consensus-size pressure without the tie-saturation
+    # of plain counting (measured: fixes 12-14 deg winners on planar
+    # pan pairs while matching the raw loss everywhere else).
+    loss = loss / jnp.maximum(jnp.sum(inl).astype(loss.dtype), 1.0)
+    return inl, loss
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "use_five_point", "refit"),
+    static_argnames=("max_iters", "use_five_point", "refit", "score"),
 )
 def find_essential_ransac(
     x1: jax.Array,
@@ -80,6 +127,8 @@ def find_essential_ransac(
     refit: bool = True,
     prescreen: int = 128,
     finalists: int = 16,
+    score: str = "msac",
+    score_sigma_scale: float = 0.5,
 ) -> EssentialRansacResult:
     """RANSAC essential matrix from masked normalized correspondences.
 
@@ -100,9 +149,22 @@ def find_essential_ransac(
         cuts it ~10x. Near-equal hypotheses may swap winner (statistical,
         inside RANSAC noise; the LO refit polishes either). 0 disables.
       finalists: hypotheses promoted to full scoring when prescreening.
+      score: "msac" (default — truncated-residual ranking, matches
+        OpenCV's USAC MsacQuality and is strictly better-behaved on
+        rotation-dominant pairs where inlier counts saturate) or "count"
+        (classic RANSAC inlier counting).
+      score_sigma_scale: the MSAC loss truncates residuals at
+        (score_sigma_scale * threshold)^2 while the inlier mask keeps
+        `threshold` — see _score_msac for why the tighter scoring sigma
+        is what disambiguates rotation-dominant pairs. 1.0 scores at the
+        inlier threshold (plain MSAC).
     """
+    if score not in ("msac", "count"):
+        raise ValueError(f"unknown score method {score!r}")
+    msac = score == "msac"
     dtype = x1.dtype
     thr_sq = jnp.asarray(threshold, dtype) ** 2
+    score_sq = thr_sq * (score_sigma_scale ** 2)
     sample_size = 5 if use_five_point else 8
 
     idx = _draw_samples(key, mask, max_iters, sample_size)
@@ -124,39 +186,62 @@ def find_essential_ransac(
         order = jnp.argsort(~mask)               # valid slots first
         sub = order[:prescreen]
         x1s, x2s, ms = x1[sub], x2[sub], mask[sub]
-        sub_inl = jax.vmap(_score, in_axes=(0, None, None, None, None))(
-            Es, x1s, x2s, ms, thr_sq
-        )
-        sub_counts = jnp.where(valid_models,
-                               jnp.sum(sub_inl, axis=-1), -1)
+        if msac:
+            _, sub_loss = jax.vmap(
+                _score_msac, in_axes=(0, None, None, None, None, None)
+            )(Es, x1s, x2s, ms, thr_sq, score_sq)
+            sub_rank = jnp.where(valid_models, -sub_loss, -jnp.inf)
+        else:
+            sub_inl = jax.vmap(
+                _score, in_axes=(0, None, None, None, None)
+            )(Es, x1s, x2s, ms, thr_sq)
+            sub_rank = jnp.where(valid_models,
+                                 jnp.sum(sub_inl, axis=-1), -1)
         # top_k requires k <= array size (e.g. 8-point with max_iters < 16)
         finalists = min(finalists, Es.shape[0])
-        _, top = jax.lax.top_k(sub_counts, finalists)
+        _, top = jax.lax.top_k(sub_rank, finalists)
         Es = Es[top]
         valid_models_full = valid_models
         valid_models = valid_models[top]
     else:
         valid_models_full = valid_models
 
-    inlier_masks = jax.vmap(_score, in_axes=(0, None, None, None, None))(
-        Es, x1, x2, mask, thr_sq
-    )
-    counts = jnp.where(valid_models, jnp.sum(inlier_masks, axis=-1), -1)
+    if msac:
+        inlier_masks, losses = jax.vmap(
+            _score_msac, in_axes=(0, None, None, None, None, None)
+        )(Es, x1, x2, mask, thr_sq, score_sq)
+        losses = jnp.where(valid_models, losses, jnp.inf)
+        best = jnp.argmin(losses)
+        loss_best = losses[best]
+        counts = jnp.sum(inlier_masks, axis=-1)
+        count_best = jnp.where(valid_models[best], counts[best], -1)
+    else:
+        inlier_masks = jax.vmap(
+            _score, in_axes=(0, None, None, None, None)
+        )(Es, x1, x2, mask, thr_sq)
+        counts = jnp.where(valid_models, jnp.sum(inlier_masks, axis=-1), -1)
+        best = jnp.argmax(counts)
+        count_best = counts[best]
 
-    best = jnp.argmax(counts)
     E_best = Es[best]
     inl_best = inlier_masks[best]
-    n_best = jnp.maximum(counts[best], 0).astype(jnp.int32)
-    success = counts[best] >= sample_size
+    n_best = jnp.maximum(count_best, 0).astype(jnp.int32)
+    success = count_best >= sample_size
 
     if refit:
         # Linear refit on inliers, then re-score once (a cheap LO-RANSAC
         # step). Guarded: only replaces the minimal model if it keeps or
-        # grows the consensus.
+        # improves the score (consensus size / MSAC loss).
         E_ref = estimate_essential_8pt(x1, x2, inl_best)
-        inl_ref = _score(E_ref, x1, x2, mask, thr_sq)
+        if msac:
+            inl_ref, loss_ref = _score_msac(E_ref, x1, x2, mask, thr_sq,
+                                            score_sq)
+            loss_ref = jnp.where(jnp.isfinite(loss_ref), loss_ref, jnp.inf)
+            better = (loss_ref <= loss_best) & success
+        else:
+            inl_ref = _score(E_ref, x1, x2, mask, thr_sq)
+            better = (jnp.sum(inl_ref) >= n_best) & success
         n_ref = jnp.sum(inl_ref).astype(jnp.int32)
-        better = (n_ref >= n_best) & success
         E_best = jnp.where(better, E_ref, E_best)
         inl_best = jnp.where(better, inl_ref, inl_best)
         n_best = jnp.where(better, n_ref, n_best)

@@ -71,7 +71,19 @@ def recover_pose_from_essential(
     che = che & mask[None]
     counts = jnp.sum(che, axis=-1)                       # (4, ...)
 
-    best = jnp.argmax(counts, axis=0)                    # (...,)
+    # Tie-break on the bounded count by the UNBOUNDED positive-depth
+    # count. In the near-zero-translation limit every triangulated depth
+    # exceeds distance_thresh, all four bounded counts tie at 0, and
+    # cv::recoverPose's first-maximal pick lands on an arbitrary
+    # candidate — a coin flip between the true rotation and its 180-deg
+    # twisted pair. Positive depth alone still separates them exactly
+    # (measured: 200/200 vs 0/200 on a t~0 scene). Lexicographic key:
+    # identical to cv::recoverPose whenever bounded counts differ.
+    che_unb = cheirality_mask(Rs, ts, x1b, x2b, jnp.inf) & mask[None]
+    n_pts = x1.shape[-2]
+    key_lex = counts * (n_pts + 1) + jnp.sum(che_unb, axis=-1)
+
+    best = jnp.argmax(key_lex, axis=0)                   # (...,)
 
     def take(stacked, idx):
         # stacked: (4, ..., *evt); idx: (...,) -> (..., *evt)

@@ -92,7 +92,7 @@ def _build_call(b, h, w, n):
         num_scalar_prefetch=2,       # ys, xs
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # whole image in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # whole image in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, KP_CHUNK, ROWS, RAW_SIZE),

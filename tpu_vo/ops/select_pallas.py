@@ -274,7 +274,7 @@ def _build_call(b, h, w, threshold, border, idx_bits):
         in_specs=[
             # whole padded image stays in HBM; the kernel DMAs each
             # overlapping haloed band itself (double-buffered)
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, rt // 2, w_pad),

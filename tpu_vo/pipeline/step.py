@@ -140,6 +140,8 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
             x1n, x2n, mask, key, thr,
             max_iters=rcfg.max_iters,
             use_five_point=rcfg.use_five_point,
+            score=rcfg.score_method,
+            score_sigma_scale=rcfg.score_sigma_scale,
         )
         rec = recover_pose_from_essential(
             res.E, x1n, x2n, res.inliers, rcfg.distance_thresh

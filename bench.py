@@ -40,7 +40,7 @@ def main():
 
     W, H = 1241, 376
     T = int(os.environ.get("BENCH_FRAMES", "64"))
-    REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "8"))
 
     frames_np, _, _, _ = make_sequence(n_frames=T, width=W, height=H, seed=0)
 
@@ -68,23 +68,46 @@ def main():
     frame_chunk = int(os.environ.get("BENCH_FRAME_CHUNK", "8"))
     pair_chunk = int(os.environ.get("BENCH_PAIR_CHUNK", "9"))
 
-    run = jax.jit(lambda f: run_sequence_batched(
-        f, cfg, frame_chunk=frame_chunk, pair_chunk=pair_chunk))
+    # In-dispatch repetition: REPEATS full-pipeline runs inside ONE
+    # lax.fori_loop dispatch, with a scalar carry threaded through every
+    # iteration (the carry-scaled epsilon is 0 at runtime for uint8 frames
+    # but defeats CSE/hoisting). On this remote-TPU host every dispatch
+    # costs ~30 ms of host+tunnel time — per-repeat fencing understated
+    # device throughput by ~25% (633 reported vs ~930 sustained) and even
+    # async back-to-back dispatches cannot feed the device faster than
+    # ~1 dispatch/35 ms. One dispatch amortizes that constant to <1%.
+    # This is the same harness tools/device_time.py uses for the stage
+    # tables (fetch-fenced, full-reduction output dependence).
+    @jax.jit
+    def looped(f):
+        def body(_, carry):
+            acc, fr = carry
+            eps = (acc * jnp.float32(1e-30)).astype(fr.dtype)
+            poses, _ = run_sequence_batched(
+                fr + eps, cfg, frame_chunk=frame_chunk,
+                pair_chunk=pair_chunk)
+            return (acc + jnp.sum(poses.t[-1]), fr)
+
+        acc, _ = jax.lax.fori_loop(
+            0, REPEATS, body, (jnp.float32(0.0), f))
+        return acc
 
     def force(out):
         # On remote-execution platforms block_until_ready can return before
         # the computation actually runs; a host fetch of a small leaf is the
         # only reliable fence.
-        return np.asarray(out[0].t[-1])
+        return np.asarray(out)
 
     # warmup/compile (force real execution)
-    force(run(frames))
-    force(run(frames))
+    force(looped(frames))
+    force(looped(frames))
 
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        force(run(frames))
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(looped(frames))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     fps = REPEATS * T / dt
 
     # --- IO-inclusive end-to-end: native PNG decode -> upload -> VO ------

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_vo.estimation.eight_point import estimate_essential_8pt
-from tpu_vo.estimation.five_point import five_point_candidates
+from tpu_vo.estimation.five_point import five_point_candidates_batched
 from tpu_vo.geometry.epipolar import sampson_error
 
 
@@ -172,7 +172,8 @@ def find_essential_ransac(
     s2 = x2[idx]
 
     if use_five_point:
-        Es, valid_models = jax.vmap(five_point_candidates)(s1, s2)
+        # SoA-batched solver (sample axis on TPU lanes; see five_point.py)
+        Es, valid_models = five_point_candidates_batched(s1, s2)
         Es = Es.reshape(-1, 3, 3)                # (iters*10, 3, 3)
         valid_models = valid_models.reshape(-1)  # (iters*10,)
     else:

@@ -81,9 +81,10 @@ def chain_relative_poses(R: jax.Array, t: jax.Array, have_rt: jax.Array,
     t_rel = jnp.where(have_rt[:, None], scale[:, None] * t_inv, 0.0)
 
     rel = Pose(R_rel, t_rel)
-    cum = jax.lax.associative_scan(
-        lambda a, b: se3.compose(a, b), rel, axis=0
-    )
+    # Hillis-Steele doubling instead of lax.associative_scan: same math
+    # (compose is associative), ~15x less device time at trajectory-scale
+    # n (see se3.cumulative_compose docstring).
+    cum = se3.cumulative_compose(rel)
     first = Pose.identity((1,), dtype=jnp.float32)
     return Pose(
         jnp.concatenate([first.R, cum.R], axis=0),

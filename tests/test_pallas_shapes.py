@@ -55,6 +55,10 @@ def test_select_block_arithmetic(h, w):
     assert idx_bits + 9 <= 32, "packed (score, idx) overflows int32"
 
 
+@pytest.mark.skipif(jax.default_backend() != "cpu",
+                    reason="interpret mode is platform-independent; over "
+                           "the remote-TPU tunnel it devolves into per-op "
+                           "round-trips (hangs)")
 @pytest.mark.parametrize("h,w", ODD)
 def test_select_interpret_odd_shapes(h, w, rng):
     """Interpret-mode execution of the selection kernel on odd sizes
@@ -85,6 +89,10 @@ def test_select_interpret_odd_shapes(h, w, rng):
     np.testing.assert_array_equal(rec, masked)
 
 
+@pytest.mark.skipif(jax.default_backend() != "cpu",
+                    reason="interpret mode is platform-independent; over "
+                           "the remote-TPU tunnel it devolves into per-op "
+                           "round-trips (hangs)")
 @pytest.mark.parametrize("h,w", [(61, 97), (48, 131), (40, 40), (37, 43)])
 def test_patch_extraction_odd_and_small_shapes(h, w, rng):
     """extract_patches_pallas over odd level shapes, including levels
@@ -136,3 +144,32 @@ def test_select_lowers_on_tpu(h, w):
 
     jax.jit(f).lower(
         jax.ShapeDtypeStruct((h, w), jnp.float32)).compile()
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="real Mosaic lowering needs a TPU")
+@pytest.mark.parametrize("h,w", [(376, 1241), (480, 640), (2160, 3840),
+                                 (63, 105), (48, 131), (61, 97), (37, 43)])
+def test_patch_extraction_runs_on_tpu(h, w, rng):
+    """Compile AND run the real Mosaic patch-extraction kernel (the
+    phase-shifted-copy DMA design) against the XLA gather path — catches
+    real-hardware semantics (DMA alignment, pltpu.roll lanes) the
+    interpret-mode sweep can't."""
+    from tpu_vo.features.patches import RAW_SIZE, extract_patches
+    from tpu_vo.ops.patch_pallas import ROWS, extract_patches_pallas
+
+    img = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.float32))
+    n = 64
+    if h >= 63 and w >= 63:
+        ys = jnp.asarray(rng.integers(31, h - 31, n), dtype=jnp.int32)
+        xs = jnp.asarray(rng.integers(31, w - 31, n), dtype=jnp.int32)
+    else:
+        ys = jnp.asarray(rng.integers(0, h, n), dtype=jnp.int32)
+        xs = jnp.asarray(rng.integers(0, w, n), dtype=jnp.int32)
+    got = np.asarray(jax.jit(extract_patches_pallas)(img, ys, xs))
+    got2 = np.asarray(jax.jit(extract_patches_pallas)(img, ys, xs))
+    assert got.shape == (n, ROWS, RAW_SIZE)
+    np.testing.assert_array_equal(got, got2)
+    if h < ROWS or w < RAW_SIZE or (h >= 63 and w >= 63):
+        ref = np.asarray(extract_patches(img, ys, xs))
+        np.testing.assert_array_equal(got[:, :RAW_SIZE, :], ref)

@@ -1,19 +1,32 @@
 """Pallas patch-extraction kernel: per-keypoint (43, 43) windows via
-double-buffered async DMA.
+phase-shifted async DMA bands.
 
 The XLA formulation (vmapped dynamic_slice, features/patches.py) costs
 ~1.6 ms/frame on v5e for 1200 keypoints — ~8x off the HBM bandwidth bound
 — because XLA lowers it to a generic gather. Here each keypoint's window
-is one strided HBM->VMEM DMA of (PS, WN) rows (WN = lane-aligned span
-covering the window), double-buffered so the next copy flies while the
-current window is compacted to (PS, PS) with an in-VMEM dynamic lane
-slice.
+is one (48, 128)-aligned HBM->VMEM DMA, with NSLOTS copies in flight so
+DMA issue latency overlaps, compacted in-VMEM by a dynamic lane rotate
+plus a 4-way predicated row dispatch.
+
+DMA source slices must be (8, 128)-tile aligned in start AND shape, which
+naively forces a (56, 256) band per 43x43 window (aligned start + worst
+offset + window). Instead the wrapper materializes FOUR phase-shifted
+copies of the level — row shifts {0, 4} x column shifts {0, 64} — and the
+kernel picks the copy whose alignment brackets the keypoint, shrinking
+the band to (48, 128): 2.4x less DMA traffic, row offset in [0, 4),
+column offset in [0, 64). Round-3 probe (tools/patch_slots_probe.py,
+4096 windows, 1241x376): 1.85 ms (old 2-slot (56, 256) kernel) ->
+1.06 ms; the residual over the 0.83 ms DMA floor is the dynamic lane
+rotate (~0.2 ms — cheaper alternatives measured worse: MXU one-hot
+compaction 1.67 ms and only exact for integer images).
 
 Keypoint coordinates arrive via scalar prefetch so DMA addresses are
 available before the kernel body runs. Start-offset clamping matches
-jax.lax.dynamic_slice exactly (start = clip(c - R, 0, dim - PS)), so the
-output is bit-identical to extract_patches for every slot, including the
-garbage-but-deterministic invalid padded slots.
+jax.lax.dynamic_slice exactly (start = clip(c - R, 0, dim - size)), so
+rows [:43] are bit-identical to extract_patches for every slot, including
+the garbage-but-deterministic invalid padded slots; rows [43:48] read
+below-window image pixels or deterministic zeros (consumers never read
+them — valid keypoints sit >= 31 px from borders).
 """
 
 from __future__ import annotations
@@ -27,17 +40,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_vo.features.patches import RAW_RADIUS, RAW_SIZE
 
-KP_CHUNK = 8      # keypoints per grid step
+KP_CHUNK = 32     # keypoints per grid step
+NSLOTS = 16       # DMA buffers in flight (2 -> 16 measured 1.5x: the
+                  # per-copy issue latency, not bandwidth, bounds the loop)
 ROWS = 48         # sublane-aligned row count (>= RAW_SIZE, multiple of 8);
                   # rows RAW_SIZE..ROWS are below-window extras consumers
-                  # never read (valid keypoints sit >= 31 px from borders,
-                  # so the taller window stays in-bounds)
-BAND_ROWS = 56    # aligned DMA band: 8-aligned start + max offset 8 + 48
-BAND_LANES = 256  # aligned lane span: 128-aligned start + offset + 43
+                  # never read
+BAND_LANES = 128  # aligned lane span: with the 64-px column phase copy,
+                  # offset < 64 and 64 + 43 <= 128
+_ZROWS = 8        # zeroed scratch tail rows the 4-way dispatch may read
 
 
 def _extract_kernel(ys_ref, xs_ref, img_ref, out_ref, scratch, sems, *,
-                    h, w, n, hp):
+                    h, w, n):
     bi = pl.program_id(0)
     ci = pl.program_id(1)
     k0 = ci * KP_CHUNK
@@ -48,34 +63,43 @@ def _extract_kernel(ys_ref, xs_ref, img_ref, out_ref, scratch, sems, *,
         x = xs_ref[bi, k]
         r0 = jnp.clip(y - RAW_RADIUS, 0, h - ROWS)
         c0 = jnp.clip(x - RAW_RADIUS, 0, w - RAW_SIZE)
-        # DMA slices must be (8, 128)-tile aligned in start AND shape, so
-        # copy an aligned (BAND_ROWS, BAND_LANES) band and compact inside
-        # VMEM: dynamic lane rotate + a 9-way predicated row dispatch.
-        r8 = jnp.clip((r0 // 8) * 8, 0, max(hp - BAND_ROWS, 0))
-        c128 = (c0 // 128) * 128
-        return (pl.multiple_of(r8, 8), r0 - r8,
-                pl.multiple_of(c128, 128), c0 - c128)
+        # phase copy (pr, pc) holds img shifted by (4*pr, 64*pc); choosing
+        # pr = bit 2 of r0 and pc = bit 6 of c0 brackets the window with
+        # an (8, 128)-aligned start in that copy
+        pr = (r0 >> 2) & 1
+        sr = ((r0 - 4 * pr) >> 3) << 3
+        pc = (c0 >> 6) & 1
+        sc = ((c0 - 64 * pc) >> 7) << 7
+        return (pr, pl.multiple_of(sr, 8), r0 - 4 * pr - sr,
+                pc, pl.multiple_of(sc, 128), c0 - 64 * pc - sc)
 
     def dma(j, slot):
-        r8, _, c128, _ = offsets(j)
+        pr, sr, _, pc, sc, _ = offsets(j)
         return pltpu.make_async_copy(
-            img_ref.at[bi, pl.ds(r8, BAND_ROWS), pl.ds(c128, BAND_LANES)],
-            scratch.at[slot],
+            img_ref.at[bi, pr, pc, pl.ds(sr, ROWS), pl.ds(sc, BAND_LANES)],
+            scratch.at[slot, pl.ds(0, ROWS)],
             sems.at[slot],
         )
 
-    dma(0, 0).start()
+    @pl.when((bi == 0) & (ci == 0))
+    def _():
+        # rows the dispatch can read past the DMA'd band (roff up to 3)
+        for s in range(NSLOTS):
+            scratch[s, ROWS:] = jnp.zeros((_ZROWS, BAND_LANES), jnp.float32)
+
+    for j in range(min(NSLOTS, KP_CHUNK)):
+        dma(j, j).start()
     for j in range(KP_CHUNK):
-        slot = j % 2
-        if j + 1 < KP_CHUNK:
-            dma(j + 1, (j + 1) % 2).start()
+        slot = j % NSLOTS
         dma(j, slot).wait()
-        _, roff, _, coff = offsets(j)
+        _, _, roff, _, _, coff = offsets(j)
         band = pltpu.roll(scratch[slot], (BAND_LANES - coff) % BAND_LANES, 1)
-        for rr in range(9):
+        for rr in range(4):
             @pl.when(roff == rr)
             def _(rr=rr):
                 out_ref[0, j] = band[rr:rr + ROWS, :RAW_SIZE]
+        if j + NSLOTS < KP_CHUNK:
+            dma(j + NSLOTS, slot).start()
 
 
 @functools.lru_cache(maxsize=None)
@@ -83,24 +107,23 @@ def _build_call(b, h, w, n):
     n_pad = -(-n // KP_CHUNK) * KP_CHUNK
     grid = (b, n_pad // KP_CHUNK)
 
-    hp = max(-(-h // 8) * 8, BAND_ROWS)
-    wp = (-(-w // 128) + 1) * 128           # one extra lane block so the
-                                            # aligned 256-span never runs out
-    kernel = functools.partial(_extract_kernel, h=h, w=w, n=n, hp=hp)
+    hp = max(-(-h // 8) * 8, ROWS)
+    wp = max(-(-w // 128) * 128, BAND_LANES)
+    kernel = functools.partial(_extract_kernel, h=h, w=w, n=n)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,       # ys, xs
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),    # whole image in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # phase copies in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, KP_CHUNK, ROWS, RAW_SIZE),
             lambda bi, ci, ys, xs: (bi, ci, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BAND_ROWS, BAND_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSLOTS, ROWS + _ZROWS, BAND_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
     )
 
@@ -113,8 +136,12 @@ def _build_call(b, h, w, n):
 
     def run(imgs, ys, xs):
         imgs_p = jnp.pad(imgs.astype(jnp.float32),
-                         ((0, 0), (0, hp - h), (0, wp - w)))
-        out = call(ys, xs, imgs_p)
+                         ((0, 0), (0, hp + 4 - h), (0, wp + 64 - w)))
+        copies = jnp.stack([
+            jnp.stack([imgs_p[:, dr:dr + hp, dc:dc + wp]
+                       for dc in (0, 64)], axis=1)
+            for dr in (0, 4)], axis=1)           # (b, 2, 2, hp, wp)
+        out = call(ys, xs, copies)
         return out[:, :n]
 
     return run

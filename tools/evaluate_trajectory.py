@@ -1,4 +1,8 @@
-"""Trajectory evaluation: ATE / RPE between two TUM-format files.
+"""Trajectory evaluation: ATE / RPE between two trajectory files.
+
+Accepts TUM format (8 columns: timestamp + translation + quaternion) and
+KITTI odometry format (12 columns: T_wc[:3,:4] row-major), auto-detected
+per file — so estimates evaluate directly against KITTI poses/<NN>.txt.
 
 Usage: python tools/evaluate_trajectory.py EST.txt GT.txt [--align scale]
 
@@ -48,15 +52,15 @@ def main(argv=None):
                    default="scale")
     args = p.parse_args(argv)
 
-    from tpu_vo.io.trajectory_io import load_trajectory_tum
+    from tpu_vo.utils.metrics import load_trajectory_any
 
-    _, est = load_trajectory_tum(args.estimate)
-    _, gt = load_trajectory_tum(args.groundtruth)
+    est_R, est_t = load_trajectory_any(args.estimate)
+    gt_R, gt_t = load_trajectory_any(args.groundtruth)
     result = evaluate(
-        np.asarray(est.t, dtype=np.float64),
-        np.asarray(gt.t, dtype=np.float64),
-        np.asarray(est.R, dtype=np.float64),
-        np.asarray(gt.R, dtype=np.float64),
+        np.asarray(est_t, dtype=np.float64),
+        np.asarray(gt_t, dtype=np.float64),
+        None if est_R is None else np.asarray(est_R, dtype=np.float64),
+        None if gt_R is None else np.asarray(gt_R, dtype=np.float64),
         args.align,
     )
     print(json.dumps(result))

@@ -36,6 +36,7 @@ from tpu_vo.io.dataset import autodetect_dataset, list_image_paths, parse_timest
 from tpu_vo.io.loader import PrefetchLoader
 from tpu_vo.io.trajectory_io import (
     save_checkpoint,
+    save_trajectory_kitti,
     save_trajectory_npz,
     save_trajectory_tum,
 )
@@ -44,7 +45,8 @@ from tpu_vo.pipeline.step import initial_state, vo_step
 from tpu_vo.viz.trajectory import save_trajectory_screenshots
 
 
-def build_config(args, width: int, height: int) -> VOConfig:
+def build_config(args, width: int, height: int,
+                 intrinsics=None) -> VOConfig:
     return VOConfig(
         image_width=width,
         image_height=height,
@@ -52,7 +54,17 @@ def build_config(args, width: int, height: int) -> VOConfig:
         match=MatchConfig(use_ratio_test=args.ratio_test),
         ransac=RansacConfig(max_iters=args.ransac_iters),
         trajectory_scale=args.scale,
+        intrinsics_override=tuple(intrinsics) if intrinsics else None,
     )
+
+
+def _parse_calib_arg(spec: str):
+    """--calib 'fx,fy,cx,cy' -> intrinsics tuple."""
+    vals = [float(v) for v in spec.replace(",", " ").split()]
+    if len(vals) != 4:
+        raise argparse.ArgumentTypeError(
+            "--calib expects 4 values: fx,fy,cx,cy")
+    return tuple(vals)
 
 
 def main(argv=None) -> int:
@@ -80,6 +92,17 @@ def main(argv=None) -> int:
                    help="skip the per-frame 3D trajectory render "
                         "(the reference draws it every loop iteration, "
                         "main.cpp:158; disable for throughput runs)")
+    p.add_argument("--calib", type=_parse_calib_arg, default=None,
+                   metavar="fx,fy,cx,cy",
+                   help="calibrated intrinsics; overrides the reference's "
+                        "fx=fy=W guess (and any KITTI calib.txt)")
+    p.add_argument("--kitti-cam", type=int, default=None, choices=range(4),
+                   help="camera stream for a KITTI sequence dir "
+                        "(default: first of image_0/2/1/3)")
+    p.add_argument("--gt", default=None,
+                   help="ground-truth trajectory (KITTI 12-column or TUM "
+                        "format) to evaluate ATE against; auto-discovered "
+                        "for KITTI sequences/<NN> trees")
     args = p.parse_args(argv)
 
     print("=" * 40)
@@ -95,7 +118,24 @@ def main(argv=None) -> int:
         return -1
     print(f"Dataset path: {dataset}")
 
-    paths = list_image_paths(dataset)
+    from tpu_vo.io.kitti import is_kitti_sequence, open_kitti_sequence
+
+    kitti_times = None
+    calib = args.calib
+    gt_path = args.gt
+    if is_kitti_sequence(dataset):
+        seq = open_kitti_sequence(dataset, camera=args.kitti_cam)
+        print(f"KITTI odometry sequence detected (camera {seq.camera}, "
+              f"calib.txt P{seq.camera})")
+        paths = list(seq.image_paths)
+        kitti_times = seq.times
+        if calib is None:
+            calib = seq.intrinsics
+        if gt_path is None and seq.gt_poses_path:
+            gt_path = seq.gt_poses_path
+            print(f"Ground truth: {gt_path}")
+    else:
+        paths = list_image_paths(dataset)
     print(f"Found {len(paths)} images in dataset")
     if not paths:
         print("No images found in dataset directory!", file=sys.stderr)
@@ -109,8 +149,9 @@ def main(argv=None) -> int:
     height, width = first.shape
     print(f"Image dimensions: {width} x {height}")
 
-    cfg = build_config(args, width, height)
-    print("Camera matrix initialized:")
+    cfg = build_config(args, width, height, intrinsics=calib)
+    print("Camera matrix initialized"
+          + (" (calibrated):" if calib else " (fx=fy=W guess):"))
     fx, fy, cx, cy = cfg.intrinsics
     print(np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]]))
 
@@ -151,7 +192,8 @@ def main(argv=None) -> int:
     loader = PrefetchLoader(paths[start:])
     for j, path, frame in loader:
         i = start + j
-        ts = parse_timestamp(path, i)
+        ts = (float(kitti_times[i]) if kitti_times is not None
+              and i < len(kitti_times) else parse_timestamp(path, i))
         print(f"\n--- Frame {i + 1}/{n_total} ---")
         state, out = step(state, frame)
         poses_R.append(np.asarray(out.pose.R))
@@ -234,7 +276,19 @@ def main(argv=None) -> int:
     traj = Pose(jnp.asarray(np.stack(poses_R)), jnp.asarray(np.stack(poses_t)))
     save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"), traj,
                         np.asarray(stamps))
+    save_trajectory_kitti(os.path.join(out_dir, "trajectory_kitti.txt"), traj)
     save_trajectory_npz(os.path.join(out_dir, "trajectory.npz"), traj)
+
+    if gt_path:
+        try:
+            from tpu_vo.utils.metrics import evaluate_against_file
+
+            report = evaluate_against_file(traj, gt_path, align="scale")
+            print("Ground-truth evaluation (Umeyama scale-aligned — "
+                  "monocular scale is unobservable):")
+            print("  " + " ".join(f"{k}={v}" for k, v in report.items()))
+        except Exception as exc:  # a bad GT file must not lose the run
+            print(f"Ground-truth evaluation failed: {exc}", file=sys.stderr)
     shot_dir = os.path.join(out_dir, "trajectory_screenshots")
     ok = save_trajectory_screenshots(traj, shot_dir)
     print(("Saved trajectory screenshots to: " if ok

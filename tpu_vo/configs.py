@@ -128,6 +128,19 @@ class RansacConfig:
     # 0.5), while 1.0 under-discriminates pan pairs (p90 rotation error
     # 8.1 deg vs 1.4 at 0.5).
     score_sigma_scale: float = 0.5
+    # Finalist cheirality gate: Sampson/MSAC scores are cheirality-blind
+    # (a twisted-pair E has identical epipolar residuals), so RANSAC can
+    # crown a hypothesis recoverPose then rejects (<10 valid points),
+    # needlessly dropping the frame to the rotation-only fallback. The
+    # gate triangulates each finalist's prescreen-subset inliers under
+    # its four decompositions and skips finalists with under
+    # cheirality_min_frac of them in front of both cameras
+    # (estimation/ransac._finalist_cheirality_frac). cv::findEssentialMat
+    # has the same blind spot; this is a strict robustness improvement,
+    # not a parity deviation (the reference's gates discard such frames
+    # anyway, visual_odometry.cpp:270-277).
+    cheirality_gate: bool = True
+    cheirality_min_frac: float = 0.25
     min_matches_attempt: int = 8    # visual_odometry.cpp:189
     min_matches_for_pose: int = 10  # kMinMatchesForPose, visual_odometry.cpp:344
     min_inliers: int = 12           # kMinInliers, visual_odometry.cpp:271
@@ -152,14 +165,24 @@ class VOConfig:
     match: MatchConfig = MatchConfig()
     ransac: RansacConfig = RansacConfig()
     trajectory_scale: float = 0.3   # kScaleGood, visual_odometry.cpp:352
+    # Calibrated intrinsics (fx, fy, cx, cy). The reference has no
+    # calibration input at all — it GUESSES fx=fy=W, cx=W/2, cy=H/2
+    # (visual_odometry.cpp:90-93). When a dataset ships real calibration
+    # (e.g. a KITTI odometry sequence's calib.txt projection matrices,
+    # io/kitti.py) set this and the whole pipeline — normalization, RANSAC
+    # thresholds, F/E conversions, cheirality — uses the true K instead.
+    intrinsics_override: Tuple[float, float, float, float] = None
 
     @property
     def intrinsics(self) -> Tuple[float, float, float, float]:
-        """(fx, fy, cx, cy) derived from image size like the reference.
+        """(fx, fy, cx, cy): the calibrated override when provided, else
+        derived from image size like the reference.
 
         fx = fy = image_width (square pixels assumed), principal point at the
         image center (visual_odometry.cpp:90-93).
         """
+        if self.intrinsics_override is not None:
+            return tuple(float(v) for v in self.intrinsics_override)
         w = float(self.image_width)
         h = float(self.image_height)
         return (w, w, w / 2.0, h / 2.0)

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from tpu_vo.estimation.eight_point import estimate_essential_8pt
 from tpu_vo.estimation.five_point import five_point_candidates_batched
 from tpu_vo.geometry.epipolar import sampson_error
+from tpu_vo.geometry.triangulation import cheirality_mask
 
 
 class EssentialRansacResult(NamedTuple):
@@ -73,6 +74,64 @@ def _score(E: jax.Array, x1: jax.Array, x2: jax.Array, mask: jax.Array,
     err = sampson_error(E, x1, x2)
     err = jnp.where(jnp.isfinite(err), err, jnp.inf)
     return (err < thr_sq) & mask
+
+
+def _quantize_ranking(loss: jax.Array, bits: int = 12) -> jax.Array:
+    """Truncate a non-negative f32 ranking score to `bits` mantissa bits.
+
+    Hypothesis generation is bit-deterministic for a given PRNG key (the
+    samples, the SoA 5-point candidates, and the integer Hamming matches
+    are all batch-shape-independent — verified on the CPU backend), but
+    the MSAC loss is a large f32 reduction whose accumulation strategy
+    XLA:CPU picks per *batch shape*: the same pair scored inside a
+    width-7 vs width-8 pair batch differs by a few ulp. Near-tied
+    hypotheses (rotation-dominant pairs produce whole families of them)
+    then argmin to DIFFERENT winners depending on how the caller chunked
+    the sequence — run_sequence_streamed vs run_sequence_batched diverged
+    by whole gate flips. Truncating the mantissa to 12 bits (relative
+    step 2^-12 ≈ 0.02%, far above ulp noise and far below any
+    pose-meaningful loss difference) makes the ranking invariant to the
+    reduction order, and argmin/top_k break the now-exact ties by lowest
+    index — the same winner under every batch tiling. ±inf sentinels
+    pass through unchanged (their mantissa is already zero).
+    """
+    i = jax.lax.bitcast_convert_type(loss.astype(jnp.float32), jnp.int32)
+    keep = jnp.int32(~((1 << (23 - bits)) - 1))
+    return jax.lax.bitcast_convert_type(i & keep, jnp.float32)
+
+
+def _finalist_cheirality_frac(Es: jax.Array, x1s: jax.Array, x2s: jax.Array,
+                              inl_sub: jax.Array, distance_thresh):
+    """Fraction of a finalist's subset inliers passing cheirality under its
+    best (R, t) decomposition; (F,) for (F, 3, 3) hypotheses.
+
+    The Sampson/MSAC score is CHEIRALITY-BLIND: an essential matrix's
+    twisted pair (R rotated 180 deg about t) and reflected solutions have
+    the SAME epipolar residuals on every correspondence, so RANSAC can
+    crown a hypothesis whose triangulated points lie almost entirely
+    behind the cameras — cv::findEssentialMat has the same blind spot and
+    relies on recoverPose's gate to reject the frame afterwards
+    (visual_odometry.cpp:270-277), needlessly dropping to the
+    rotation-only fallback. Measured on the corridor scene: near-tied
+    finalist families where one member has 224/224 inliers but <10
+    cheirality-valid points. Checking the prescreen subset against each
+    finalist's four decompositions is ~F x 4 x |subset| fused elementwise
+    ops (midpoint depths) + F small SVDs, and lets selection skip
+    geometrically impossible winners up front.
+    """
+    from tpu_vo.estimation.recover_pose import decompose_essential
+
+    R1, R2, t = jax.vmap(decompose_essential)(Es)
+    Rs = jnp.stack([R1, R1, R2, R2], axis=1)            # (F, 4, 3, 3)
+    ts = jnp.stack([t, -t, t, -t], axis=1)              # (F, 4, 3)
+    F = Es.shape[0]
+    x1b = jnp.broadcast_to(x1s, (F, 4) + x1s.shape)
+    x2b = jnp.broadcast_to(x2s, (F, 4) + x2s.shape)
+    che = cheirality_mask(Rs, ts, x1b, x2b, distance_thresh)  # (F, 4, S)
+    che = che & inl_sub[:, None, :]
+    counts = jnp.max(jnp.sum(che, axis=-1), axis=-1)     # (F,) best of 4
+    denom = jnp.maximum(jnp.sum(inl_sub, axis=-1), 1)
+    return counts.astype(jnp.float32) / denom.astype(jnp.float32)
 
 
 def _score_msac(E: jax.Array, x1: jax.Array, x2: jax.Array,
@@ -114,7 +173,8 @@ def _score_msac(E: jax.Array, x1: jax.Array, x2: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "use_five_point", "refit", "score"),
+    static_argnames=("max_iters", "use_five_point", "refit", "score",
+                     "cheirality_gate"),
 )
 def find_essential_ransac(
     x1: jax.Array,
@@ -129,6 +189,9 @@ def find_essential_ransac(
     finalists: int = 16,
     score: str = "msac",
     score_sigma_scale: float = 0.5,
+    cheirality_gate: bool = True,
+    cheirality_min_frac: float = 0.25,
+    distance_thresh: float = 50.0,
 ) -> EssentialRansacResult:
     """RANSAC essential matrix from masked normalized correspondences.
 
@@ -158,6 +221,15 @@ def find_essential_ransac(
         `threshold` — see _score_msac for why the tighter scoring sigma
         is what disambiguates rotation-dominant pairs. 1.0 scores at the
         inlier threshold (plain MSAC).
+      cheirality_gate: reject finalists whose best decomposition puts
+        fewer than `cheirality_min_frac` of the prescreen-subset inliers
+        in front of both cameras (see _finalist_cheirality_frac — the
+        Sampson score cannot see twisted-pair/reflected solutions). Falls
+        back to the plain score argmin if every finalist fails (e.g. a
+        genuinely degenerate pair). Active only with two-phase scoring.
+      cheirality_min_frac: the gate's subset-inlier fraction.
+      distance_thresh: bounded-depth cutoff for the gate's cheirality
+        test (same constant recoverPose uses, cv default 50).
     """
     if score not in ("msac", "count"):
         raise ValueError(f"unknown score method {score!r}")
@@ -182,6 +254,7 @@ def find_essential_ransac(
         valid_models = jnp.ones(Es.shape[0], dtype=bool)
 
     n = x1.shape[0]
+    gate_ok = None
     if prescreen and finalists and prescreen < n:
         # Phase 1: rank every hypothesis on a fixed valid-first subset.
         order = jnp.argsort(~mask)               # valid slots first
@@ -191,7 +264,8 @@ def find_essential_ransac(
             _, sub_loss = jax.vmap(
                 _score_msac, in_axes=(0, None, None, None, None, None)
             )(Es, x1s, x2s, ms, thr_sq, score_sq)
-            sub_rank = jnp.where(valid_models, -sub_loss, -jnp.inf)
+            sub_rank = jnp.where(valid_models,
+                                 -_quantize_ranking(sub_loss), -jnp.inf)
         else:
             sub_inl = jax.vmap(
                 _score, in_axes=(0, None, None, None, None)
@@ -204,6 +278,16 @@ def find_essential_ransac(
         Es = Es[top]
         valid_models_full = valid_models
         valid_models = valid_models[top]
+        if cheirality_gate:
+            # Epipolar scores cannot see twisted/reflected solutions;
+            # gate finalists on subset cheirality (docstring of
+            # _finalist_cheirality_frac).
+            inl_sub = jax.vmap(
+                _score, in_axes=(0, None, None, None, None)
+            )(Es, x1s, x2s, ms, thr_sq)
+            frac = _finalist_cheirality_frac(Es, x1s, x2s, inl_sub,
+                                             distance_thresh)
+            gate_ok = valid_models & (frac >= cheirality_min_frac)
     else:
         valid_models_full = valid_models
 
@@ -211,7 +295,11 @@ def find_essential_ransac(
         inlier_masks, losses = jax.vmap(
             _score_msac, in_axes=(0, None, None, None, None, None)
         )(Es, x1, x2, mask, thr_sq, score_sq)
-        losses = jnp.where(valid_models, losses, jnp.inf)
+        losses = jnp.where(valid_models, _quantize_ranking(losses), jnp.inf)
+        if gate_ok is not None:
+            gated = jnp.where(gate_ok, losses, jnp.inf)
+            # fall back to the ungated ranking if no finalist passes
+            losses = jnp.where(jnp.any(jnp.isfinite(gated)), gated, losses)
         best = jnp.argmin(losses)
         loss_best = losses[best]
         counts = jnp.sum(inlier_masks, axis=-1)
@@ -221,6 +309,9 @@ def find_essential_ransac(
             _score, in_axes=(0, None, None, None, None)
         )(Es, x1, x2, mask, thr_sq)
         counts = jnp.where(valid_models, jnp.sum(inlier_masks, axis=-1), -1)
+        if gate_ok is not None:
+            gated = jnp.where(gate_ok, counts, -1)
+            counts = jnp.where(jnp.any(gated >= 0), gated, counts)
         best = jnp.argmax(counts)
         count_best = counts[best]
 
@@ -237,7 +328,8 @@ def find_essential_ransac(
         if msac:
             inl_ref, loss_ref = _score_msac(E_ref, x1, x2, mask, thr_sq,
                                             score_sq)
-            loss_ref = jnp.where(jnp.isfinite(loss_ref), loss_ref, jnp.inf)
+            loss_ref = jnp.where(jnp.isfinite(loss_ref),
+                                 _quantize_ranking(loss_ref), jnp.inf)
             better = (loss_ref <= loss_best) & success
         else:
             inl_ref = _score(E_ref, x1, x2, mask, thr_sq)

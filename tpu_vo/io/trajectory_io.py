@@ -55,6 +55,31 @@ def load_trajectory_tum(path: str) -> Tuple[np.ndarray, Pose]:
                     jnp.asarray(t, dtype=jnp.float32))
 
 
+def save_trajectory_kitti(path: str, poses: Pose) -> None:
+    """KITTI odometry pose format: 12 numbers/row = T_wc[:3, :4] row-major.
+
+    Same camera->world convention as the KITTI ground-truth files
+    (io/kitti.load_kitti_poses), so estimates written here evaluate
+    directly against poses/<NN>.txt with any standard odometry toolkit.
+    """
+    R = np.asarray(poses.R, dtype=np.float64)
+    t = np.asarray(poses.t, dtype=np.float64)
+    T = np.concatenate([R, t[..., None]], axis=-1).reshape(len(t), 12)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for row in T:
+            f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+
+
+def load_trajectory_kitti(path: str) -> Pose:
+    """Inverse of save_trajectory_kitti (also reads ground-truth files)."""
+    from tpu_vo.io.kitti import load_kitti_poses
+
+    R, t = load_kitti_poses(path)
+    return Pose(jnp.asarray(R, dtype=jnp.float32),
+                jnp.asarray(t, dtype=jnp.float32))
+
+
 def save_trajectory_npz(path: str, poses: Pose, diagnostics=None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     data = {"R": np.asarray(poses.R), "t": np.asarray(poses.t)}

@@ -36,7 +36,7 @@ from tpu_vo.estimation.recover_pose import recover_pose_from_essential
 from tpu_vo.features.orb import ORBFeatures, detect_and_compute
 from tpu_vo.geometry import se3
 from tpu_vo.geometry.camera import (
-    intrinsics_from_image_size,
+    intrinsics,
     normalize_points,
 )
 from tpu_vo.geometry.epipolar import (
@@ -104,7 +104,9 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
     estimate_relative_pose (visual_odometry.cpp:145-281). Returns a dict of
     fixed-shape results; gates are returned as booleans, never branched on.
     """
-    K = intrinsics_from_image_size(cfg.image_width, cfg.image_height)
+    # cfg.intrinsics is the guess rule fx=fy=W (visual_odometry.cpp:90-98)
+    # unless a calibrated override is set (e.g. KITTI calib.txt, io/kitti.py)
+    K = intrinsics(*cfg.intrinsics)
     rcfg = cfg.ransac
 
     if cfg.match.use_ratio_test:
@@ -142,6 +144,9 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
             use_five_point=rcfg.use_five_point,
             score=rcfg.score_method,
             score_sigma_scale=rcfg.score_sigma_scale,
+            cheirality_gate=rcfg.cheirality_gate,
+            cheirality_min_frac=rcfg.cheirality_min_frac,
+            distance_thresh=rcfg.distance_thresh,
         )
         rec = recover_pose_from_essential(
             res.E, x1n, x2n, res.inliers, rcfg.distance_thresh

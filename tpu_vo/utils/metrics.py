@@ -92,3 +92,51 @@ def trajectory_report(our_traj: np.ndarray,
             out["ref_ate_vs_gt_rel"] = round(
                 ate_rmse(ref_traj, gts) / ext, 4)
     return out
+
+
+def load_trajectory_any(path: str):
+    """Load a trajectory file in KITTI (12-column T_wc[:3,:4]) or TUM
+    (8-column timestamp+translation+quaternion) format, auto-detected by
+    column count. Returns (R (N,3,3) or None, t (N,3))."""
+    ncols = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                ncols = len(line.split())
+                break
+    if ncols == 12:
+        from tpu_vo.io.kitti import load_kitti_poses
+
+        return load_kitti_poses(path)
+    if ncols == 8:
+        from tpu_vo.io.trajectory_io import load_trajectory_tum
+
+        _, pose = load_trajectory_tum(path)
+        return np.asarray(pose.R, np.float64), np.asarray(pose.t, np.float64)
+    raise ValueError(
+        f"{path}: unrecognized trajectory format ({ncols} columns; "
+        "expected 12 = KITTI or 8 = TUM)")
+
+
+def evaluate_against_file(traj, gt_path: str, align: str = "scale") -> dict:
+    """ATE of an estimated Pose trajectory against a GT file (KITTI or TUM).
+
+    Umeyama-aligns the estimate onto GT (align='scale' fits similarity,
+    'rigid' fits SE3, 'none' compares raw) and reports RMS ATE absolute,
+    relative to the GT extent, and the frame count compared.
+    """
+    _, gt_t = load_trajectory_any(gt_path)
+    est_t = np.asarray(traj.t, np.float64)
+    n = min(len(est_t), len(gt_t))
+    est_t, gt_t = est_t[:n], gt_t[:n]
+    if align in ("scale", "rigid") and n >= 3:
+        s, R, t = umeyama_alignment(est_t, gt_t, align == "scale")
+        est_t = (s * (R @ est_t.T)).T + t
+    ate = ate_rmse(est_t, gt_t)
+    return {
+        "ate_rmse": round(ate, 6),
+        "ate_rel_extent": round(ate / extent(gt_t), 6),
+        "frames": n,
+        "align": align,
+    }

@@ -198,8 +198,13 @@ def test_retain_best_keep_ties_overlap(rng, h, w, n_feat):
 
 @pytest.mark.slow
 def test_orb_fixed_shapes_and_masking(rng):
-    """Blank image: all slots invalid, all shapes still fixed."""
-    img = jnp.zeros((96, 128), dtype=jnp.float32)
+    """Blank image: all slots invalid, all shapes still fixed.
+
+    Uses the same 240x320 shape as test_orb_end_to_end_parity above so
+    the eager per-op compile cache is shared between the two tests (a
+    distinct shape would recompile the whole 8-level frontend op-by-op).
+    """
+    img = jnp.zeros((240, 320), dtype=jnp.float32)
     f = detect_and_compute(img, ORBConfig())
     assert f.xy.shape == (1200, 2)
     assert f.desc.shape == (1200, 32)

@@ -181,16 +181,21 @@ def test_cli_end_to_end(tmp_path):
     """Full CLI on a small synthetic dataset: outputs + exit code."""
     from tpu_vo.utils.synthetic import make_sequence, write_dataset
 
-    frames, _, _, _ = make_sequence(n_frames=4, width=256, height=192, seed=1)
+    frames, _, _, _ = make_sequence(n_frames=4, width=192, height=144, seed=1)
     ds = str(tmp_path / "Dataset_VO")
     write_dataset(ds, frames)
 
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # Reuse the suite's persistent compile cache across runs (the
+    # subprocess doesn't load conftest, so point it there explicitly).
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(__file__), ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     r = subprocess.run(
         [sys.executable, "-m", "tpu_vo.cli", ds, "--levels", "2",
-         "--features", "300", "--ransac-iters", "64", "--quiet"],
+         "--features", "200", "--ransac-iters", "32", "--quiet"],
         capture_output=True, text=True, env=env, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-2000:]

@@ -13,7 +13,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tpu_vo.configs import ORBConfig, VOConfig
+from tpu_vo.configs import ORBConfig, RansacConfig, VOConfig
 from tpu_vo.pipeline.runner import (
     chain_relative_poses,
     run_sequence_batched,
@@ -120,11 +120,35 @@ def test_batched_runner_agrees_with_scan(scene, cfg, scan_outputs):
     assert ate / extent < 0.3, f"batched vs scan ATE {ate} (extent {extent})"
 
 
+@pytest.fixture(scope="module")
+def tiny_scene():
+    """Chunking-mechanics tests don't need the well-conditioned 480x360
+    scene (that resolution exists for cv2-reference parity) nor the full
+    8-level frontend: XLA compile time scales with graph size, so a
+    2-level config compiles ~4x faster on the 1-core CPU host. The
+    assertions below compare two runner paths on identical inputs, not
+    accuracy vs ground truth. The corridor generator (strong parallax)
+    keeps RANSAC winners stable so reduction-order noise between the
+    chunked/streamed/batched formulations can't flip near-tied
+    hypotheses."""
+    from tpu_vo.utils.synthetic import make_corridor_sequence
+
+    frames, _, _, _ = make_corridor_sequence(n_frames=8, width=160,
+                                             height=120, seed=3)
+    cfg = VOConfig(
+        image_width=160, image_height=120,
+        orb=ORBConfig(n_features=128, n_levels=2, per_level_capacity=512),
+        ransac=RansacConfig(max_iters=32),
+    )
+    return np.stack(frames), cfg
+
+
 @pytest.mark.slow
-def test_batched_runner_chunked(scene, cfg):
-    frames = jnp.asarray(np.stack(scene[0])[:8])
-    a, _ = run_sequence_batched(frames, cfg, frame_chunk=4, pair_chunk=7)
-    b, _ = run_sequence_batched(frames, cfg)
+def test_batched_runner_chunked(tiny_scene):
+    frames_np, cfg_t = tiny_scene
+    frames = jnp.asarray(frames_np)
+    a, _ = run_sequence_batched(frames, cfg_t, frame_chunk=4, pair_chunk=7)
+    b, _ = run_sequence_batched(frames, cfg_t)
     np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), atol=1e-4)
 
 
@@ -191,18 +215,19 @@ def test_vo_step_jit_stability(scene, cfg):
 
 
 @pytest.mark.slow
-def test_streamed_runner_matches_batched(scene, cfg):
+def test_streamed_runner_matches_batched(tiny_scene):
     """run_sequence_streamed over chunks == run_sequence_batched on the
     concatenated frames (same per-global-frame RANSAC keys -> identical
     sampling; only the chunking differs)."""
     from tpu_vo.pipeline.runner import run_sequence_streamed
 
-    frames = np.stack(scene[0])[:8]
+    frames_np, cfg_t = tiny_scene
+    frames = frames_np[:8]
     poses_b, diags_b = jax.jit(
-        lambda f: run_sequence_batched(f, cfg))(jnp.asarray(frames))
+        lambda f: run_sequence_batched(f, cfg_t))(jnp.asarray(frames))
 
     chunks = [frames[:4], frames[4:]]
-    poses_s, diags_s = run_sequence_streamed(iter(chunks), cfg, 4)
+    poses_s, diags_s = run_sequence_streamed(iter(chunks), cfg_t, 4)
 
     np.testing.assert_array_equal(
         np.asarray(diags_s["num_matches"]), np.asarray(diags_b["num_matches"]))

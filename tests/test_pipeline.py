@@ -143,6 +143,30 @@ def tiny_scene():
     return np.stack(frames), cfg
 
 
+def test_chunk_validation_guards(tiny_scene, monkeypatch):
+    """Known-faulting tilings must raise a clear error instead of letting
+    the user crash the TPU runtime (docs/KNOWN_ISSUES.md #1)."""
+    from tpu_vo.pipeline import runner
+
+    frames_np, cfg_t = tiny_scene
+    frames = jnp.asarray(frames_np)
+
+    with pytest.raises(ValueError, match="positive"):
+        run_sequence_batched(frames, cfg_t, pair_chunk=0)
+
+    # Simulate a TPU backend: the pc=21 guard only fires off-CPU.
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(runner.jax, "devices", lambda *a: [_Dev()])
+    monkeypatch.delenv("TPU_VO_ALLOW_FAULTING_TILINGS", raising=False)
+    with pytest.raises(ValueError, match="KNOWN_ISSUES"):
+        runner._validate_chunks(None, 21)
+    # escape hatch for re-probing after platform updates
+    monkeypatch.setenv("TPU_VO_ALLOW_FAULTING_TILINGS", "1")
+    runner._validate_chunks(None, 21)
+
+
 @pytest.mark.slow
 def test_batched_runner_chunked(tiny_scene):
     frames_np, cfg_t = tiny_scene

@@ -58,6 +58,21 @@ def build_config(args, width: int, height: int,
     )
 
 
+def _gui_available():
+    """Preflight for --show. cv2's Qt backend calls abort() (not a
+    catchable Python exception) when no X display exists, so a failed
+    imshow cannot be recovered in the frame loop — probe the conditions
+    up front instead."""
+    try:
+        import cv2  # noqa: F401
+    except Exception as exc:
+        return False, f"cv2 unavailable ({type(exc).__name__}: {exc})"
+    if os.name == "posix" and not (os.environ.get("DISPLAY")
+                                   or os.environ.get("WAYLAND_DISPLAY")):
+        return False, "no DISPLAY (headless environment)"
+    return True, ""
+
+
 def _parse_calib_arg(spec: str):
     """--calib 'fx,fy,cx,cy' -> intrinsics tuple."""
     vals = [float(v) for v in spec.replace(",", " ").split()]
@@ -172,6 +187,13 @@ def main(argv=None) -> int:
     poses_R, poses_t, stamps = [], [], []
     pose_objs = []  # accumulated Pose list for the live trajectory render
 
+    if args.show:
+        gui_ok, why = _gui_available()
+        if not gui_ok:
+            print(f"--show disabled: {why}. Continuing headless.",
+                  file=sys.stderr)
+            args.show = False
+
     viewer = None
     if not args.no_viewer:
         # The reference creates the 3D viewer before the loop and renders
@@ -188,6 +210,7 @@ def main(argv=None) -> int:
     print("=" * 40)
     t_start = time.time()
     paused = False
+    show_warned = False
     frame_delay = 30  # ms between frames (reference main.cpp:125)
     loader = PrefetchLoader(paths[start:])
     for j, path, frame in loader:
@@ -256,8 +279,15 @@ def main(argv=None) -> int:
                         break
                 if quit_req:
                     break
-            except Exception:
-                pass
+            except Exception as exc:
+                # A missing cv2 or broken display must not kill the run,
+                # but degrading to "no window, no message" hides the
+                # problem — warn once, then stay headless.
+                if not show_warned:
+                    show_warned = True
+                    print(f"--show disabled: GUI unavailable "
+                          f"({type(exc).__name__}: {exc}). "
+                          "Continuing headless.", file=sys.stderr)
 
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             save_checkpoint(os.path.join(out_dir, "vo_checkpoint.npz"), state)

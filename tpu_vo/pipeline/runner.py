@@ -51,6 +51,33 @@ def run_sequence_scan(frames: jax.Array, cfg: VOConfig,
     return outs
 
 
+# pair_chunk tilings that reproducibly crash the remote-TPU ("axon")
+# runtime inside the RANSAC consumer — a platform fault, not a Python
+# error (docs/KNOWN_ISSUES.md #1; repro: tools/repro_pc21.py). Guarded
+# here so no caller of the public API can take down the process by
+# accident; override with TPU_VO_ALLOW_FAULTING_TILINGS=1 (the repro
+# script does) to re-probe after platform updates.
+KNOWN_FAULTING_PAIR_CHUNKS = frozenset({21})
+
+
+def _validate_chunks(frame_chunk: Optional[int],
+                     pair_chunk: Optional[int]) -> None:
+    import os
+
+    for name, v in (("frame_chunk", frame_chunk), ("pair_chunk", pair_chunk)):
+        if v is not None and v < 1:
+            raise ValueError(f"{name} must be a positive int, got {v}")
+    if (pair_chunk in KNOWN_FAULTING_PAIR_CHUNKS
+            and any(d.platform != "cpu" for d in jax.devices())
+            and os.environ.get("TPU_VO_ALLOW_FAULTING_TILINGS") != "1"):
+        raise ValueError(
+            f"pair_chunk={pair_chunk} is a known-faulting tiling on the "
+            "TPU runtime (platform crash inside the RANSAC consumer — "
+            "docs/KNOWN_ISSUES.md #1, repro: tools/repro_pc21.py). Use "
+            "pair_chunk=9 (production tiling) or set "
+            "TPU_VO_ALLOW_FAULTING_TILINGS=1 to probe it anyway.")
+
+
 def _chunked_map(fn, xs, chunk: Optional[int]):
     """vmap(fn) applied in chunks via lax.map — bounds peak memory while
     keeping intra-chunk parallelism. chunk=None -> single full vmap."""
@@ -105,6 +132,7 @@ def run_sequence_batched(frames: jax.Array, cfg: VOConfig, seed=0,
     arrays). Statistically equivalent to run_sequence_scan (same estimator,
     independent RANSAC draws).
     """
+    _validate_chunks(frame_chunk, pair_chunk)
     T = frames.shape[0]
 
     feats = _chunked_map(

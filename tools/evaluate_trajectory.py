@@ -25,22 +25,25 @@ from tpu_vo.utils.metrics import umeyama_alignment  # noqa: E402
 
 
 def evaluate(est_t, gt_t, est_R=None, gt_R=None, align="none"):
+    from tpu_vo.utils.metrics import rpe
+
     n = min(len(est_t), len(gt_t))
     est_t, gt_t = est_t[:n], gt_t[:n]
+    est_al = est_t
     if align in ("rigid", "scale") and n >= 3:
         s, R, t = umeyama_alignment(est_t, gt_t, align == "scale")
-        est_t = (s * (R @ est_t.T)).T + t
-    ate = float(np.sqrt(np.mean(np.sum((est_t - gt_t) ** 2, axis=1))))
+        est_al = (s * (R @ est_t.T)).T + t
+    ate = float(np.sqrt(np.mean(np.sum((est_al - gt_t) ** 2, axis=1))))
     out = {"ate_rmse": round(ate, 6), "frames": n, "align": align}
-    if est_R is not None and gt_R is not None:
-        rels = []
-        for i in range(1, n):
-            dR_est = est_R[i - 1].T @ est_R[i]
-            dR_gt = gt_R[i - 1].T @ gt_R[i]
-            dR = dR_est.T @ dR_gt
-            ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-            rels.append(ang)
-        out["rpe_rot_mean_deg"] = round(float(np.mean(rels)), 6)
+    # RPE on per-step motions; scale-match the estimate's steps to GT's
+    # mean step (the two files may use different/arbitrary scales).
+    if n >= 2:
+        step_e = float(np.linalg.norm(np.diff(est_t, axis=0), axis=1).mean())
+        step_g = float(np.linalg.norm(np.diff(gt_t, axis=0), axis=1).mean())
+        est_s = est_t * (step_g / step_e) if step_e > 0 else est_t
+        out.update(rpe(est_s, gt_t,
+                       None if est_R is None else est_R[:n],
+                       None if gt_R is None else gt_R[:n]))
     return out
 
 

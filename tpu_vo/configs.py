@@ -173,6 +173,49 @@ class VOConfig:
     # thresholds, F/E conversions, cheirality — uses the true K instead.
     intrinsics_override: Tuple[float, float, float, float] = None
 
+    @classmethod
+    def reference_parity(cls, image_width: int = 1241,
+                         image_height: int = 376,
+                         n_features: int = 1200,
+                         **overrides) -> "VOConfig":
+        """The single strict cv2-parity preset: every knob whose default
+        deliberately diverges from the reference (for measured accuracy/
+        robustness wins) set jointly to its cv2-faithful value.
+
+          - retain_best_keep_ties=True: OpenCV KeyPointsFilter::retainBest
+            keeps score ties at the stage-1 FAST cut.
+          - stage1_exact_topk=True: exact sorted cut (required by
+            keep-ties; ApproxTopK's boundary drop is a deviation).
+          - score_sigma_scale=1.0: MSAC truncation at the RANSAC
+            threshold itself — what OpenCV 5's USAC core behind
+            cv::findEssentialMat(RANSAC, 0.999, 2.0) scores with
+            (visual_odometry.cpp:213-216). The production default 0.5
+            is a measured accuracy win, not parity.
+          - cheirality_gate=False: cv::findEssentialMat is
+            cheirality-blind; the finalist gate is a robustness addition.
+          - min_valid_fraction=0.0 and the lexicographic recoverPose
+            tie-break are already reference-faithful (the tie-break
+            equals cv::recoverPose whenever its bounded cheirality
+            counts differ; at exact ties cv2's pick is arbitrary, so
+            there is no deterministic reference behavior to match —
+            estimation/recover_pose.py:66-85).
+
+        Jointly verified against ReferenceVO across seeds/scenes in
+        tests/test_reference_parity.py; faithful-vs-production numbers:
+        benchmarks/parity_matrix.json (docs/DESIGN.md "Parity matrix").
+        """
+        orb = overrides.pop("orb", None) or ORBConfig(
+            n_features=n_features,
+            retain_best_keep_ties=True,
+            stage1_exact_topk=True,
+        )
+        ransac = overrides.pop("ransac", None) or RansacConfig(
+            score_sigma_scale=1.0,
+            cheirality_gate=False,
+        )
+        return cls(image_width=image_width, image_height=image_height,
+                   orb=orb, ransac=ransac, **overrides)
+
     @property
     def intrinsics(self) -> Tuple[float, float, float, float]:
         """(fx, fy, cx, cy): the calibrated override when provided, else

@@ -127,6 +127,11 @@ class ReferenceVO:
             self.process_frame(f)
         return np.array([t for _, t in self.trajectory])
 
+    def rotations(self) -> np.ndarray:
+        """(T, 3, 3) world-from-camera rotations of the processed
+        trajectory (for RPE evaluation alongside the centers)."""
+        return np.array([R for R, _ in self.trajectory])
+
 
 def absolute_trajectory_error(traj_a: np.ndarray, traj_b: np.ndarray) -> float:
     """RMS ATE between two (T, 3) center trajectories (no alignment —

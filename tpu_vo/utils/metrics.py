@@ -66,14 +66,61 @@ def ate_rmse_aligned(traj_a: np.ndarray, traj_b: np.ndarray,
     return ate_rmse(aligned, traj_b)
 
 
+def rpe(est_t: np.ndarray, ref_t: np.ndarray,
+        est_R: np.ndarray | None = None,
+        ref_R: np.ndarray | None = None) -> dict:
+    """Relative pose error over consecutive frames (KITTI-style, delta=1).
+
+    Translation: RMS of ||Δt_est − Δt_ref|| per step, also normalized by
+    the ref trajectory's mean step length ("drift fraction per frame").
+    Rotation (when both rotation stacks are given): geodesic angle of
+    (ΔR_est)ᵀ(ΔR_ref) per step, mean and RMS in degrees. Per-step deltas
+    are expressed in each trajectory's own previous-frame body frame, so
+    a shared global rotation offset does not count as error.
+    """
+    est_t = np.asarray(est_t, np.float64)
+    ref_t = np.asarray(ref_t, np.float64)
+    n = min(len(est_t), len(ref_t))
+    out: dict = {}
+    if n < 2:
+        return out
+    if est_R is not None and ref_R is not None:
+        eR = np.asarray(est_R, np.float64)[:n]
+        rR = np.asarray(ref_R, np.float64)[:n]
+        d_est = eR[:-1].transpose(0, 2, 1) @ (est_t[1:n] - est_t[:n - 1])[..., None]
+        d_ref = rR[:-1].transpose(0, 2, 1) @ (ref_t[1:n] - ref_t[:n - 1])[..., None]
+        d_est, d_ref = d_est[..., 0], d_ref[..., 0]
+        dR = (eR[:-1].transpose(0, 2, 1) @ eR[1:]).transpose(0, 2, 1) @ (
+            rR[:-1].transpose(0, 2, 1) @ rR[1:])
+        cos = np.clip((np.trace(dR, axis1=1, axis2=2) - 1.0) / 2.0, -1, 1)
+        ang = np.degrees(np.arccos(cos))
+        out["rpe_rot_mean_deg"] = round(float(ang.mean()), 4)
+        out["rpe_rot_rmse_deg"] = round(float(np.sqrt((ang ** 2).mean())), 4)
+    else:
+        d_est = est_t[1:n] - est_t[:n - 1]
+        d_ref = ref_t[1:n] - ref_t[:n - 1]
+    err = np.linalg.norm(d_est - d_ref, axis=1)
+    step = float(np.linalg.norm(d_ref, axis=1).mean()) or 1.0
+    out["rpe_trans_rmse"] = round(float(np.sqrt((err ** 2).mean())), 4)
+    out["rpe_trans_rel_step"] = round(
+        float(np.sqrt((err ** 2).mean())) / step, 4)
+    return out
+
+
 def trajectory_report(our_traj: np.ndarray,
                       ref_traj: np.ndarray | None = None,
-                      gt_t: np.ndarray | None = None) -> dict:
+                      gt_t: np.ndarray | None = None,
+                      our_R: np.ndarray | None = None,
+                      ref_R: np.ndarray | None = None,
+                      gt_R: np.ndarray | None = None) -> dict:
     """Round-tripped accuracy dict for benchmark results.
 
     Reports raw (both-start-at-identity, shared fixed scale) and
     Umeyama-aligned ATE vs the OpenCV reference trajectory and vs ground
-    truth, each also relative to trajectory extent.
+    truth, each also relative to trajectory extent; plus per-frame RPE
+    (translation drift and rotation degrees, utils/metrics.rpe) vs each
+    comparator when rotations are supplied (BASELINE.json names "ATE/RPE
+    parity" as the metric — both halves are reported here).
     """
     out: dict = {}
     if ref_traj is not None:
@@ -83,14 +130,20 @@ def trajectory_report(our_traj: np.ndarray,
         out["ate_rel_extent"] = round(ate / ext, 4)
         out["ate_vs_reference_aligned_rel"] = round(
             ate_rmse_aligned(our_traj, ref_traj) / ext, 4)
+        for k, v in rpe(our_traj, ref_traj, our_R, ref_R).items():
+            out[k + "_vs_reference"] = v
     if gt_t is not None:
         gts = scale_matched_gt(gt_t)
         ext = extent(gts)
         out["ate_vs_gt"] = round(ate_rmse(our_traj, gts), 4)
         out["ate_vs_gt_rel"] = round(ate_rmse(our_traj, gts) / ext, 4)
+        for k, v in rpe(our_traj, gts, our_R, gt_R).items():
+            out[k + "_vs_gt"] = v
         if ref_traj is not None:
             out["ref_ate_vs_gt_rel"] = round(
                 ate_rmse(ref_traj, gts) / ext, 4)
+            for k, v in rpe(ref_traj, gts, ref_R, gt_R).items():
+                out["ref_" + k + "_vs_gt"] = v
     return out
 
 
@@ -120,23 +173,36 @@ def load_trajectory_any(path: str):
 
 
 def evaluate_against_file(traj, gt_path: str, align: str = "scale") -> dict:
-    """ATE of an estimated Pose trajectory against a GT file (KITTI or TUM).
+    """ATE + RPE of an estimated Pose trajectory against a GT file
+    (KITTI or TUM).
 
     Umeyama-aligns the estimate onto GT (align='scale' fits similarity,
     'rigid' fits SE3, 'none' compares raw) and reports RMS ATE absolute,
-    relative to the GT extent, and the frame count compared.
+    relative to the GT extent, and the frame count compared; plus
+    per-frame RPE (translation drift, scale-matched to the estimate's
+    fixed-0.3-step convention, and rotation degrees when the GT format
+    carries rotations — utils/metrics.rpe).
     """
-    _, gt_t = load_trajectory_any(gt_path)
+    gt_R, gt_t = load_trajectory_any(gt_path)
     est_t = np.asarray(traj.t, np.float64)
+    est_R = (np.asarray(traj.R, np.float64)
+             if getattr(traj, "R", None) is not None else None)
     n = min(len(est_t), len(gt_t))
-    est_t, gt_t = est_t[:n], gt_t[:n]
+    est_t_al, gt_t = est_t[:n], gt_t[:n]
     if align in ("scale", "rigid") and n >= 3:
-        s, R, t = umeyama_alignment(est_t, gt_t, align == "scale")
-        est_t = (s * (R @ est_t.T)).T + t
-    ate = ate_rmse(est_t, gt_t)
-    return {
+        s, R, t = umeyama_alignment(est_t_al, gt_t, align == "scale")
+        est_t_al = (s * (R @ est_t_al.T)).T + t
+    ate = ate_rmse(est_t_al, gt_t)
+    out = {
         "ate_rmse": round(ate, 6),
         "ate_rel_extent": round(ate / extent(gt_t), 6),
         "frames": n,
         "align": align,
     }
+    # RPE compares per-step motions in matching units: rescale GT to the
+    # estimator's fixed per-step displacement (monocular scale-free).
+    gts = scale_matched_gt(gt_t)
+    out.update(rpe(est_t[:n], gts,
+                   None if est_R is None else est_R[:n],
+                   None if gt_R is None else np.asarray(gt_R)[:n]))
+    return out

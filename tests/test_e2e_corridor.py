@@ -64,10 +64,14 @@ def test_cli_end_to_end_accuracy(tmp_path_factory, corridor):
     assert len([s for s in shots if s.endswith(".jpg")]) == 7
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_batched_runner_matches_cli_scan(corridor):
     """Scan (CLI path) and batched (throughput path) runners agree on the
-    corridor within estimator tolerance."""
+    corridor within estimator tolerance. Nightly: the same invariant is
+    asserted every run at 480x360 in
+    test_pipeline.test_batched_runner_agrees_with_scan; this corridor
+    row only adds scene diversity for two more full-pipeline compiles
+    (VERDICT r3 next #8)."""
     import jax.numpy as jnp
 
     from tpu_vo.configs import VOConfig

@@ -6,14 +6,26 @@ stages. FAST is bit-exact; orientation/descriptors are exact modulo
 OpenCV's internal +-1 blur rounding.
 """
 
+import functools
+
 import cv2
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from tpu_vo.configs import ORBConfig
 from tpu_vo.features import brief, fast, orientation
 from tpu_vo.features.orb import detect_and_compute, features_per_level
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dac(cfg: ORBConfig):
+    """Jitted detect_and_compute: eager op-by-op execution of the 8-level
+    frontend re-dispatches hundreds of ops per call AND misses the
+    persistent compile cache — jit makes warm-cache suite runs pay only
+    the run, not the (re)trace (VERDICT r3 next #8)."""
+    return jax.jit(lambda im: detect_and_compute(im, cfg))
 
 
 def textured_image(rng, h=240, w=320, sigma=3.0):
@@ -129,7 +141,7 @@ def test_orb_end_to_end_parity(rng):
     orb_cv = cv2.ORB_create(1200, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE, 31, 10)
     kps_cv, desc_cv = orb_cv.detectAndCompute(img, None)
 
-    f = detect_and_compute(jnp.asarray(img), ORBConfig())
+    f = _jit_dac(ORBConfig())(jnp.asarray(img))
     valid = np.asarray(f.valid)
     xy = np.asarray(f.xy)
     oct_ = np.asarray(f.octave)
@@ -162,7 +174,12 @@ def test_orb_end_to_end_parity(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("h,w,n_feat", [(240, 320, 1200), (376, 1241, 2000)])
+@pytest.mark.parametrize("h,w,n_feat", [
+    (240, 320, 1200),
+    # KITTI-resolution row: two full-frontend compiles at 1241x376 on
+    # the CPU host — nightly/TPU-leg only (VERDICT r3 next #8)
+    pytest.param(376, 1241, 2000, marks=pytest.mark.nightly),
+])
 def test_retain_best_keep_ties_overlap(rng, h, w, n_feat):
     """retain_best_keep_ties emulates cv::KeyPointsFilter::retainBest's
     keep-ties stage-1 cut; keypoint-set overlap vs cv2 must not drop and
@@ -181,9 +198,9 @@ def test_retain_best_keep_ties_overlap(rng, h, w, n_feat):
 
     overlaps = {}
     for keep_ties in (False, True):
-        f = detect_and_compute(
-            jnp.asarray(img),
-            ORBConfig(n_features=n_feat, retain_best_keep_ties=keep_ties))
+        f = _jit_dac(ORBConfig(n_features=n_feat,
+                               retain_best_keep_ties=keep_ties))(
+            jnp.asarray(img))
         valid = np.asarray(f.valid)
         xy = np.asarray(f.xy)
         oct_ = np.asarray(f.octave)
@@ -205,7 +222,7 @@ def test_orb_fixed_shapes_and_masking(rng):
     distinct shape would recompile the whole 8-level frontend op-by-op).
     """
     img = jnp.zeros((240, 320), dtype=jnp.float32)
-    f = detect_and_compute(img, ORBConfig())
+    f = _jit_dac(ORBConfig())(img)
     assert f.xy.shape == (1200, 2)
     assert f.desc.shape == (1200, 32)
     assert not bool(np.asarray(f.valid).any())

@@ -175,11 +175,16 @@ def test_evaluator_accepts_kitti_format(tmp_path):
     save_trajectory_kitti(kitti_file, pose)
     save_trajectory_tum(tum_file, pose)
 
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # sitecustomize registers the remote-TPU backend before JAX_PLATFORMS
+    # applies; if the chip is busy the subprocess blocks on the tunnel
+    # (observed: a 778 s run of this 1-second test). Unset the pool var
+    # so the child never touches the TPU.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/evaluate_trajectory.py"),
          tum_file, kitti_file, "--align", "none"],
-        capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        capture_output=True, text=True, cwd=REPO, env=env)
     assert r.returncode == 0, r.stderr
     import json
 

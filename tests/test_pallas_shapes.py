@@ -20,7 +20,13 @@ import jax.numpy as jnp
 from tpu_vo.image.pyramid import level_sizes
 
 RESOLUTIONS = [(480, 640), (376, 1241), (1080, 1920), (2160, 3840)]
-ODD = [(61, 97), (100, 131), (48, 129), (37, 43)]
+# Interpret-mode sweeps cost ~15-20 s per shape on the CPU host; CI
+# keeps the two most-degenerate rows (near-tile-boundary width, tiny),
+# the rest run nightly / in the TPU leg (VERDICT r3 next #8).
+ODD = [(48, 129), (37, 43)]
+ODD_NIGHTLY = [(61, 97), (100, 131)]
+ODD_ALL = ODD + [pytest.param(*s, marks=pytest.mark.nightly)
+                 for s in ODD_NIGHTLY]
 
 
 def _all_level_shapes():
@@ -59,7 +65,7 @@ def test_select_block_arithmetic(h, w):
                     reason="interpret mode is platform-independent; over "
                            "the remote-TPU tunnel it devolves into per-op "
                            "round-trips (hangs)")
-@pytest.mark.parametrize("h,w", ODD)
+@pytest.mark.parametrize("h,w", ODD_ALL)
 def test_select_interpret_odd_shapes(h, w, rng):
     """Interpret-mode execution of the selection kernel on odd sizes
     reproduces the XLA score map exactly (same check as the main parity
@@ -93,7 +99,11 @@ def test_select_interpret_odd_shapes(h, w, rng):
                     reason="interpret mode is platform-independent; over "
                            "the remote-TPU tunnel it devolves into per-op "
                            "round-trips (hangs)")
-@pytest.mark.parametrize("h,w", [(61, 97), (48, 131), (40, 40), (37, 43)])
+@pytest.mark.parametrize("h,w", [
+    (48, 131), (37, 43),
+    pytest.param(61, 97, marks=pytest.mark.nightly),
+    pytest.param(40, 40, marks=pytest.mark.nightly),
+])
 def test_patch_extraction_odd_and_small_shapes(h, w, rng):
     """extract_patches_pallas over odd level shapes, including levels
     smaller than the DMA window (which must take the XLA fallback instead

@@ -177,3 +177,43 @@ def test_sp_collectives_are_small():
     assert not big, f"image-scale collective(s) in SP program: {big}"
     assert any(op == "collective-permute" for op, _ in colls), \
         "expected the one-frame feature halo ppermute"
+
+
+def test_dp_sp_combined_matches_batched(frames8):
+    """Combined DP x SP runner (batch on "data", time on "seq" with the
+    one-frame halo) must reproduce the per-sequence batched runner."""
+    from tpu_vo.parallel.sharding import run_batch_time_sharded
+
+    cfg = small_cfg()
+    mesh = make_mesh((4, 2), ("data", "seq"))
+    poses, diags = run_batch_time_sharded(frames8[:4], cfg, mesh)
+    assert poses.t.shape == (4, 4, 3)
+
+    seeds = jnp.arange(4, dtype=jnp.uint32)
+    poses_local = jax.vmap(
+        lambda s, sd: run_sequence_batched(s, cfg, seed=sd)[0]
+    )(frames8[:4], seeds)
+    np.testing.assert_allclose(
+        np.asarray(poses.t), np.asarray(poses_local.t), atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_dp_sp_collective_contract(frames8):
+    """HLO contract on the combined DP x SP 4x2 mesh (VERDICT r3 next
+    #10): no image-scale collectives anywhere (nothing at all moves
+    along "data"; "seq" moves only the one-frame feature halo and the
+    pose scan's 3x3 combines), and the halo ppermute must exist."""
+    from tpu_vo.parallel import sharding as sh
+
+    cfg = small_cfg()
+    mesh = make_mesh((4, 2), ("data", "seq"))
+    fn = sh._dp_sp_runner(cfg, mesh, "data", "seq")
+    seeds = jnp.arange(4, dtype=jnp.uint32)
+    txt = fn.lower(frames8[:4], seeds).compile().as_text()
+    colls = _collective_ops(txt)
+    pixels = 96 * 128
+    big = [c for c in colls if c[1] >= pixels]
+    assert not big, f"image-scale collective(s) in DPxSP program: {big}"
+    assert any(op == "collective-permute" for op, _ in colls), \
+        "expected the one-frame feature halo ppermute"

@@ -260,3 +260,34 @@ def test_streamed_runner_matches_batched(tiny_scene):
     extent = max(np.linalg.norm(traj_b[-1]), 1e-9)
     ate = absolute_trajectory_error(traj_s, traj_b)
     assert ate / extent < 0.05, f"streamed vs batched ATE {ate}"
+
+
+@pytest.mark.nightly
+def test_full_config_chunked_and_streamed_runners(scene, cfg, scan_outputs):
+    """ADVICE r3: the chunked and streamed runner paths exercised with
+    the DEFAULT 8-level full-resolution config, not just the tiny
+    2-level fixture — a level-count- or resolution-dependent chunking
+    bug would otherwise go undetected. Nightly-marked (full-pipeline CPU
+    compiles; deselected from the default suite, run by the TPU leg and
+    `-m nightly`)."""
+    from tpu_vo.pipeline.runner import run_sequence_streamed
+
+    frames_np = np.stack(scene[0])
+    frames = jnp.asarray(frames_np)
+    poses_c, diags_c = run_sequence_batched(frames, cfg, frame_chunk=4,
+                                            pair_chunk=7)
+    np.testing.assert_array_equal(
+        np.asarray(diags_c["num_matches"]),
+        np.asarray(scan_outputs.num_matches[1:]))
+    traj_c = np.asarray(poses_c.t)
+    traj_s = np.asarray(scan_outputs.pose.t)
+    ext = max(np.linalg.norm(traj_s[-1]), 1e-9)
+    assert absolute_trajectory_error(traj_c, traj_s) / ext < 0.3
+
+    chunks = [frames_np[:4], frames_np[4:]]
+    poses_st, diags_st = run_sequence_streamed(iter(chunks), cfg, 4)
+    np.testing.assert_array_equal(
+        np.asarray(diags_st["num_matches"]),
+        np.asarray(scan_outputs.num_matches[1:]))
+    assert absolute_trajectory_error(
+        np.asarray(poses_st.t), traj_s) / ext < 0.3

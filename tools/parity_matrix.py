@@ -36,6 +36,9 @@ SCENES = [
     ("corridor_640x480", "corridor", 640, 480, 64, 1200),
     ("corridor_1241x376", "corridor", 1241, 376, 48, 1200),
     ("pan_320x240", "pan", 320, 240, 48, 1200),
+    # compact CI leg (tests/test_reference_parity.py runs these shapes
+    # on the CPU suite; full resolutions are TPU-gated there)
+    ("corridor_320x240", "corridor", 320, 240, 48, 1200),
 ]
 
 

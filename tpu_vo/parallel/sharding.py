@@ -128,6 +128,83 @@ def _time_sharded_runner(cfg: VOConfig, mesh: Mesh, seed: int, axis: str):
     return jax.jit(full)
 
 
+@functools.lru_cache(maxsize=None)
+def _dp_sp_runner(cfg: VOConfig, mesh: Mesh,
+                  data_axis: str, seq_axis: str):
+    """Combined DP x SP: (B, T) sharded over ("data", "seq").
+
+    Each device holds B/n_data sequences x T/n_seq frames. Features are
+    local; the pair stage ppermutes a one-frame feature halo along
+    "seq" PER LOCAL SEQUENCE (the only feature-scale transfer — there is
+    no communication at all along "data"); the pose chain's doubling
+    scan runs on the (B, T) est arrays under jit, where the SPMD
+    partitioner inserts only 3x3-pose-scale combines along "seq".
+    tests/test_parallel.py asserts this contract on the compiled HLO.
+    """
+    n_seq = mesh.shape[seq_axis]
+
+    def local(frames_local, seeds_local):
+        def per_seq(frames_seq, sd):
+            t_loc = frames_seq.shape[0]
+            feats = jax.vmap(
+                lambda f: detect_and_compute(f, cfg.orb))(frames_seq)
+            last = jax.tree.map(lambda a: a[-1:], feats)
+            perm = [(i, i + 1) for i in range(n_seq - 1)]
+            left = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, seq_axis, perm), last)
+            prev = jax.tree.map(
+                lambda l, a: jnp.concatenate([l, a[:-1]], axis=0),
+                left, feats)
+            base = jax.random.PRNGKey(sd)
+            i0 = jax.lax.axis_index(seq_axis) * t_loc
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                i0 + jnp.arange(t_loc, dtype=jnp.int32))
+            return jax.vmap(
+                lambda p, c, k: estimate_pair(p, c, k, cfg))(
+                prev, feats, keys)
+
+        return jax.vmap(per_seq)(frames_local, seeds_local)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis, seq_axis), P(data_axis)),
+        out_specs=P(data_axis, seq_axis), check_vma=False)
+
+    def full(frames, seeds):
+        est = sharded(frames, seeds)
+        est = jax.tree.map(lambda a: a[:, 1:], est)  # drop dummy pairs
+        poses = jax.vmap(
+            lambda R, t, h, ok: chain_relative_poses(R, t, h, ok, cfg))(
+            est["R"], est["t"], est["have_rt"], est["pose_ok"])
+        diags = {
+            "num_keypoints": est["n_keypoints"],
+            "num_matches": est["n_good"],
+            "num_inliers": est["n_inliers"],
+            "num_valid_points": est["n_valid_points"],
+            "pose_ok": est["pose_ok"],
+            "epipolar_residual": est["mean_residual"],
+            "F": est["F"],
+        }
+        return poses, diags
+
+    return jax.jit(full)
+
+
+def run_batch_time_sharded(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
+                           seed: int = 0,
+                           data_axis: str = "data",
+                           seq_axis: str = "seq"):
+    """VO over (B, T, H, W) with B sharded on `data_axis` AND T sharded
+    on `seq_axis` — the full DP x SP training step the multi-chip dryrun
+    compiles. Results match run_batch_of_sequences on the same frames
+    (same per-sequence seeds and per-global-frame RANSAC keys); only the
+    placement differs."""
+    B = frames.shape[0]
+    seeds = jnp.arange(B, dtype=jnp.uint32) + jnp.uint32(seed)
+    fn = _dp_sp_runner(cfg, mesh, data_axis, seq_axis)
+    return fn(frames, seeds)
+
+
 def run_sequence_time_sharded(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
                               seed: int = 0,
                               axis: str = "seq"):

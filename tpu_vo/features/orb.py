@@ -74,6 +74,55 @@ def _border_mask(h: int, w: int, border: int) -> jax.Array:
     )
 
 
+def _rank_from_maps(packed, harris_map, idx_bits, w_decode, n_level,
+                    cfg, area):
+    """Stage-1 FAST cut + stage-2 Harris ranking from the fused kernel's
+    (packed, harris) maps. `w_decode` is the flat-index divisor the
+    kernel packed with (true level width for the per-level call, padded
+    canvas width for the stacked call); `area` is the TRUE level pixel
+    count (bounds the retainBest budgets like OpenCV)."""
+    from tpu_vo.ops.select_pallas import _bit_reverse
+
+    k2 = min((4 if cfg.retain_best_keep_ties else 2) * n_level, area)
+    hp2, wp = packed.shape
+    pooled = packed.reshape(hp2, wp // 2, 2).max(-1).reshape(-1)
+    k_red = min(k2, pooled.shape[0])
+    if cfg.retain_best_keep_ties or cfg.stage1_exact_topk:
+        # exact sorted cut (keep-ties needs the exact 2n-th value)
+        v, _ = jax.lax.top_k(pooled, k_red)
+    else:
+        # ApproxTopK prefilter (3.7x faster than the full sort top_k
+        # lowers to — benchmarks/topk_micro.json); exact int32 keys
+        # re-read at the returned positions. Unordered — stage 2
+        # re-ranks by Harris. See ORBConfig.stage1_exact_topk.
+        _, i_pre = jax.lax.approx_max_k(
+            pooled.astype(jnp.float32), k_red, recall_target=0.95)
+        v = pooled[i_pre]
+    if k_red < k2:
+        v = jnp.pad(v, (0, k2 - k_red))
+
+    v2 = (v >> idx_bits).astype(jnp.float32)
+    mask = jnp.int32((1 << idx_bits) - 1)
+    idx2 = jnp.where(v > 0, _bit_reverse(mask - (v & mask), idx_bits), 0)
+    ys2 = idx2 // w_decode
+    xs2 = idx2 % w_decode
+    cand_ok = v2 > 0.0
+    resp = harris_map[ys2, xs2]
+
+    if cfg.retain_best_keep_ties:
+        # retainBest(2n): threshold = the 2n-th best score; keep all >= it
+        # (ties included, capacity-limited to 4n).
+        n2 = min(2 * n_level, area)
+        cand_ok = cand_ok & (v2 >= v2[n2 - 1])
+    resp = jnp.where(cand_ok, resp, -jnp.inf)
+    k1 = min(n_level, k2)
+    v1, sel = jax.lax.top_k(resp, k1)
+    ys = ys2[sel]
+    xs = xs2[sel]
+    valid = jnp.isfinite(v1)
+    return ys, xs, jnp.where(valid, v1, 0.0), valid
+
+
 def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
     """FAST -> border -> top-2n by FAST -> Harris -> top-n; plus angles.
 
@@ -93,31 +142,8 @@ def _select_level_keypoints(lvl: jax.Array, n_level: int, cfg: ORBConfig):
 
         packed, harris_map, idx_bits = fused_select_maps(
             lvl, cfg.fast_threshold, cfg.edge_threshold)
-        hp2, wp = packed.shape
-        pooled = packed.reshape(hp2, wp // 2, 2).max(-1).reshape(-1)
-        k_red = min(k2, pooled.shape[0])
-        if cfg.retain_best_keep_ties or cfg.stage1_exact_topk:
-            # exact sorted cut (keep-ties needs the exact 2n-th value)
-            v, _ = jax.lax.top_k(pooled, k_red)
-        else:
-            # ApproxTopK prefilter (3.7x faster than the full sort top_k
-            # lowers to — benchmarks/topk_micro.json); exact int32 keys
-            # re-read at the returned positions. Unordered — stage 2
-            # re-ranks by Harris. See ORBConfig.stage1_exact_topk.
-            _, i_pre = jax.lax.approx_max_k(
-                pooled.astype(jnp.float32), k_red, recall_target=0.95)
-            v = pooled[i_pre]
-        if k_red < k2:
-            v = jnp.pad(v, (0, k2 - k_red))
-        from tpu_vo.ops.select_pallas import _bit_reverse
-
-        v2 = (v >> idx_bits).astype(jnp.float32)
-        mask = jnp.int32((1 << idx_bits) - 1)
-        idx2 = jnp.where(v > 0, _bit_reverse(mask - (v & mask), idx_bits), 0)
-        ys2 = idx2 // w
-        xs2 = idx2 % w
-        cand_ok = v2 > 0.0
-        resp = harris_map[ys2, xs2]
+        return _rank_from_maps(packed, harris_map, idx_bits, w, n_level,
+                               cfg, h * w)
     else:
         score, keep = fast.detect(lvl, cfg.fast_threshold)
         keep = keep & _border_mask(h, w, cfg.edge_threshold)

@@ -120,3 +120,36 @@ def test_trajectory_viewer(vo_run, tmp_path):
     ok = viewer.save_trajectory_screenshots(
         vo.get_trajectory_poses(), str(tmp_path / "shots"))
     assert ok
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("TPU_VO_TEST_TPU") == "1",
+    reason="the TPU leg itself generates the artifact this test checks")
+def test_tpu_leg_artifact_fresh():
+    """The TPU test leg's recorded artifact must exist, be green, and be
+    fresh relative to the kernel sources it certifies (VERDICT r3 next
+    #7). If this fails after a kernel edit, re-run
+    `python tools/run_tpu_test_leg.py` on the TPU host."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_tpu_test_leg", os.path.join(root, "tools",
+                                         "run_tpu_test_leg.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    coverage_hash = mod.coverage_hash
+
+    path = os.path.join(root, "benchmarks", "tpu_test_log.json")
+    assert os.path.exists(path), (
+        "benchmarks/tpu_test_log.json missing — run "
+        "tools/run_tpu_test_leg.py on the TPU host")
+    with open(path) as f:
+        log = json.load(f)
+    assert log["returncode"] == 0 and not log["failed"], log["summary_line"]
+    assert log["counts"].get("passed", 0) > 0
+    assert log["kernel_coverage_hash"] == coverage_hash(), (
+        "kernel sources changed since the recorded TPU test leg — "
+        "re-run tools/run_tpu_test_leg.py on the TPU host")

@@ -7,6 +7,14 @@ import jax.numpy as jnp
 
 from tpu_vo.features import fast
 
+# Interpret mode is platform-independent but devolves into per-op tunnel
+# round-trips on the remote-TPU backend (hangs/wedges the client — it
+# took the whole round-4 TPU test leg down with it); the on-chip kernel
+# parity coverage lives in test_pallas_shapes' *_on_tpu sweeps instead.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="interpret-mode tests run on the CPU backend only")
+
 
 @pytest.mark.slow
 def test_fast_margin_pallas_matches_xla_interpret(rng):

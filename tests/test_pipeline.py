@@ -225,16 +225,19 @@ def test_failure_ladder_static_then_moving(scene, cfg):
     assert ang < 2.0, f"static scene produced {ang} deg rotation"
 
 
-def test_vo_step_jit_stability(scene, cfg):
-    """Two jitted invocations with the same state are deterministic."""
+def test_vo_step_jit_stability(tiny_scene):
+    """Two jitted invocations with the same state are deterministic.
+    Determinism is config-size-independent, so this runs on the tiny
+    2-level fixture (the 480x360 8-level variant added a full extra
+    compile for identical coverage — VERDICT r3 next #8)."""
     import functools
 
-    frames = scene[0]
-    step = jax.jit(functools.partial(vo_step, cfg=cfg))
-    s0 = initial_state(cfg)
-    s1, _ = step(s0, jnp.asarray(frames[0]))
-    a, outa = step(s1, jnp.asarray(frames[1]))
-    b, outb = step(s1, jnp.asarray(frames[1]))
+    frames_np, cfg_t = tiny_scene
+    step = jax.jit(functools.partial(vo_step, cfg=cfg_t))
+    s0 = initial_state(cfg_t)
+    s1, _ = step(s0, jnp.asarray(frames_np[0]))
+    a, outa = step(s1, jnp.asarray(frames_np[1]))
+    b, outb = step(s1, jnp.asarray(frames_np[1]))
     np.testing.assert_array_equal(np.asarray(outa.pose.t), np.asarray(outb.pose.t))
 
 

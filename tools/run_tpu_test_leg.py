@@ -3,8 +3,9 @@
 The CPU suite self-skips the TPU-gated tests (ApproxTopK semantics, real
 Mosaic lowering/execution sweeps — tests/conftest.py); their passing
 state previously existed only in unrecorded builder sessions. This tool
-runs the FULL suite on the chip (`TPU_VO_TEST_TPU=1`, nightly tests
-included via `-m ""`) and writes benchmarks/tpu_test_log.json with:
+runs the TPU-relevant test files on the chip (`TPU_VO_TEST_TPU=1`,
+nightly tests included via `-m ""`) and writes
+benchmarks/tpu_test_log.json with:
 
   - pass/fail/skip counts and failed test ids,
   - wall time, date, git revision,
@@ -59,13 +60,31 @@ def coverage_hash() -> str:
     return h.hexdigest()
 
 
+# The files the leg runs. Scope decision (measured, round 4): the
+# FULL suite on the chip fails ~119 precision-golden tests BY DESIGN —
+# they compare against OpenCV float64 goldens and the CPU suite enables
+# x64 for exactly that reason (tests/conftest.py), while the TPU runs
+# the f32/bf16 production dtypes. The TPU leg therefore certifies what
+# the CPU suite cannot: real Mosaic lowering/execution, ApproxTopK
+# semantics, on-chip kernel-vs-XLA parity, cv2 keypoint-set overlap
+# with the production Pallas path, and the full-resolution joint
+# reference-parity bands (all statistical/set-based — dtype-robust).
+TPU_LEG_TEST_FILES = [
+    "tests/test_stage1_approx.py",
+    "tests/test_pallas_shapes.py",
+    "tests/test_features.py",
+    "tests/test_reference_parity.py",
+    "tests/test_rotation_rich.py",
+]
+
+
 def main(argv=None):
     env = dict(os.environ)
     env["TPU_VO_TEST_TPU"] = "1"
     t0 = time.time()
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "-m", "",
-         "--tb=line"],
+        [sys.executable, "-m", "pytest", *TPU_LEG_TEST_FILES,
+         "-q", "-m", "", "--tb=line"],
         cwd=ROOT, env=env, capture_output=True, text=True,
         timeout=3 * 3600)
     wall = time.time() - t0
@@ -73,7 +92,8 @@ def main(argv=None):
     summary = tail[-1] if tail else ""
     counts = {k: int(v) for v, k in re.findall(
         r"(\d+) (passed|failed|skipped|deselected|error)", summary)}
-    failed = [ln.split(" ")[0] for ln in tail if ln.startswith("FAILED")]
+    failed = [ln.split(" ")[1].split(" - ")[0].rstrip("-").strip()
+              for ln in tail if ln.startswith("FAILED")]
     skip_reasons: dict = {}
     for ln in tail:
         m = re.match(r"SKIPPED \[\d+\] .*?: (.*)", ln)
@@ -87,6 +107,7 @@ def main(argv=None):
         .strftime("%Y-%m-%dT%H:%M:%SZ"),
         "git_rev": rev,
         "backend": "tpu (TPU_VO_TEST_TPU=1, -m '' so nightly included)",
+        "test_files": TPU_LEG_TEST_FILES,
         "returncode": r.returncode,
         "wall_seconds": round(wall, 1),
         "summary_line": summary,
@@ -94,6 +115,7 @@ def main(argv=None):
         "failed": failed,
         "kernel_coverage_hash": coverage_hash(),
         "kernel_coverage_files": KERNEL_COVERAGE_FILES,
+        "output_tail": tail[-40:],
     }
     path = os.path.join(ROOT, "benchmarks", "tpu_test_log.json")
     with open(path, "w") as f:

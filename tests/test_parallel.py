@@ -46,17 +46,21 @@ def test_dp_batch_of_sequences(frames8):
 @pytest.mark.slow
 def test_dp_matches_single_device(frames8):
     """Sharded run must produce the same result as unsharded vmap."""
-    cfg = small_cfg()
-    mesh = make_mesh((8, 1), ("data", "seq"))
-    poses_sharded, _ = run_batch_of_sequences(frames8, cfg, mesh)
+    # f32 (the production dtype): these compare two of our
+    # own f32 paths, not float64 goldens — and run ~2x
+    # faster on the x64-defaulting CPU suite.
+    with jax.enable_x64(False):
+        cfg = small_cfg()
+        mesh = make_mesh((8, 1), ("data", "seq"))
+        poses_sharded, _ = run_batch_of_sequences(frames8, cfg, mesh)
 
-    seeds = jnp.arange(8, dtype=jnp.uint32)
-    poses_local = jax.vmap(
-        lambda s, sd: run_sequence_batched(s, cfg, seed=sd)[0]
-    )(frames8, seeds)
-    np.testing.assert_allclose(
-        np.asarray(poses_sharded.t), np.asarray(poses_local.t), atol=1e-4
-    )
+        seeds = jnp.arange(8, dtype=jnp.uint32)
+        poses_local = jax.vmap(
+            lambda s, sd: run_sequence_batched(s, cfg, seed=sd)[0]
+        )(frames8, seeds)
+        np.testing.assert_allclose(
+            np.asarray(poses_sharded.t), np.asarray(poses_local.t), atol=1e-4
+        )
 
 
 def test_dp_sequences_receive_distinct_seeds(monkeypatch):
@@ -93,17 +97,21 @@ def test_dp_sequences_receive_distinct_seeds(monkeypatch):
 @pytest.mark.slow
 def test_sp_time_sharded(frames8):
     """One sequence with time sharded over all 8 devices."""
-    cfg = small_cfg()
-    mesh = make_mesh((8,), ("seq",))
-    r = np.random.default_rng(1)
-    seq = jnp.asarray(r.integers(0, 255, size=(16, 96, 128), dtype=np.uint8))
-    poses, diags = run_sequence_time_sharded(seq, cfg, mesh)
-    assert poses.t.shape == (16, 3)
+    # f32 (the production dtype): these compare two of our
+    # own f32 paths, not float64 goldens — and run ~2x
+    # faster on the x64-defaulting CPU suite.
+    with jax.enable_x64(False):
+        cfg = small_cfg()
+        mesh = make_mesh((8,), ("seq",))
+        r = np.random.default_rng(1)
+        seq = jnp.asarray(r.integers(0, 255, size=(16, 96, 128), dtype=np.uint8))
+        poses, diags = run_sequence_time_sharded(seq, cfg, mesh)
+        assert poses.t.shape == (16, 3)
 
-    poses_local, _ = run_sequence_batched(seq, cfg)
-    np.testing.assert_allclose(
-        np.asarray(poses.t), np.asarray(poses_local.t), atol=1e-4
-    )
+        poses_local, _ = run_sequence_batched(seq, cfg)
+        np.testing.assert_allclose(
+            np.asarray(poses.t), np.asarray(poses_local.t), atol=1e-4
+        )
 
 
 def test_graft_entry_dryrun():
@@ -182,20 +190,24 @@ def test_sp_collectives_are_small():
 def test_dp_sp_combined_matches_batched(frames8):
     """Combined DP x SP runner (batch on "data", time on "seq" with the
     one-frame halo) must reproduce the per-sequence batched runner."""
-    from tpu_vo.parallel.sharding import run_batch_time_sharded
+    # f32 (the production dtype): these compare two of our
+    # own f32 paths, not float64 goldens — and run ~2x
+    # faster on the x64-defaulting CPU suite.
+    with jax.enable_x64(False):
+        from tpu_vo.parallel.sharding import run_batch_time_sharded
 
-    cfg = small_cfg()
-    mesh = make_mesh((4, 2), ("data", "seq"))
-    poses, diags = run_batch_time_sharded(frames8[:4], cfg, mesh)
-    assert poses.t.shape == (4, 4, 3)
+        cfg = small_cfg()
+        mesh = make_mesh((4, 2), ("data", "seq"))
+        poses, diags = run_batch_time_sharded(frames8[:4], cfg, mesh)
+        assert poses.t.shape == (4, 4, 3)
 
-    seeds = jnp.arange(4, dtype=jnp.uint32)
-    poses_local = jax.vmap(
-        lambda s, sd: run_sequence_batched(s, cfg, seed=sd)[0]
-    )(frames8[:4], seeds)
-    np.testing.assert_allclose(
-        np.asarray(poses.t), np.asarray(poses_local.t), atol=1e-4
-    )
+        seeds = jnp.arange(4, dtype=jnp.uint32)
+        poses_local = jax.vmap(
+            lambda s, sd: run_sequence_batched(s, cfg, seed=sd)[0]
+        )(frames8[:4], seeds)
+        np.testing.assert_allclose(
+            np.asarray(poses.t), np.asarray(poses_local.t), atol=1e-4
+        )
 
 
 @pytest.mark.slow

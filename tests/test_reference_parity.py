@@ -53,12 +53,17 @@ def _joint_parity(maker, W, H, T):
     traj_ref, band, ext = _ref_and_band(W, H, frames_np)
 
     cfg = VOConfig.reference_parity(image_width=W, image_height=H)
-    frames = jnp.asarray(np.stack(frames_np))
-    run = jax.jit(lambda f, s: run_sequence_batched(f, cfg, seed=s))
     rels = []
-    for s in range(SEEDS):
-        poses, _ = run(frames, jnp.uint32(s))
-        rels.append(ate_rmse_aligned(np.asarray(poses.t), traj_ref) / ext)
+    # f32 = the production dtype (and ~2x faster on the x64-defaulting
+    # CPU suite); the comparison is statistical vs the reference's own
+    # scatter band, not a float64 golden.
+    with jax.enable_x64(False):
+        frames = jnp.asarray(np.stack(frames_np))
+        run = jax.jit(lambda f, s: run_sequence_batched(f, cfg, seed=s))
+        for s in range(SEEDS):
+            poses, _ = run(frames, jnp.uint32(s))
+            rels.append(
+                ate_rmse_aligned(np.asarray(poses.t), traj_ref) / ext)
 
     tol = max(band, 0.01)
     bad = [r for r in rels if r > tol]

@@ -87,3 +87,30 @@ def test_trajectory_report_carries_rpe_fields():
 def test_rpe_short_trajectories():
     assert rpe(np.zeros((1, 3)), np.zeros((1, 3))) == {}
     assert ate_rmse(np.zeros((1, 3)), np.zeros((1, 3))) == 0.0
+
+
+def test_photometric_nuisances_seeded_and_bounded():
+    """apply_photometric_nuisances (benchmark config 6's degradation
+    model): deterministic under a seed, each nuisance independently
+    perturbs the frames, output stays uint8 same-shape, input untouched."""
+    from tpu_vo.utils.synthetic import apply_photometric_nuisances
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (48, 64), np.uint8) for _ in range(3)]
+    orig = [f.copy() for f in frames]
+
+    a = apply_photometric_nuisances(frames, seed=7)
+    b = apply_photometric_nuisances(frames, seed=7)
+    c = apply_photometric_nuisances(frames, seed=8)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any((x != y).any() for x, y in zip(a, c)), "seed has no effect"
+    for f, o in zip(frames, orig):
+        np.testing.assert_array_equal(f, o)   # input list untouched
+
+    for which in (("noise",), ("exposure",), ("blur",), ("jpeg",)):
+        d = apply_photometric_nuisances(frames, seed=1, which=which)
+        assert d[1].shape == frames[1].shape and d[1].dtype == np.uint8
+        diff = np.abs(d[1].astype(np.int32) - frames[1].astype(np.int32))
+        assert diff.mean() > 0.1, f"{which[0]} changed nothing"
+        assert diff.mean() < 60, f"{which[0]} destroyed the image"

@@ -117,8 +117,12 @@ def main():
     e2e_fps = None
     try:
         e2e_fps = _bench_e2e(frames_np, cfg)
-    except Exception:
-        pass
+    except Exception as e:
+        # Degrade visibly, not silently (VERDICT r4 weak #6): a broken
+        # native loader or wedged tunnel drops e2e_decode_fps from the
+        # output — say so on stderr so the gap is attributable.
+        print(f"warning: e2e decode bench failed, omitting e2e_decode_fps "
+              f"({type(e).__name__}: {e})", file=sys.stderr)
 
     out = {
         "metric": "VO frames/sec/chip (1241x376, 1200 kps, 5pt RANSAC)",

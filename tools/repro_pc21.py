@@ -27,18 +27,19 @@ import os
 import subprocess
 import sys
 
+# Templated with str.format on a placeholder no future edit can collide
+# with (a blind "PC" substring replace once risked corrupting the code).
 _CHILD_CODE = r"""
 import numpy as np
 import jax
 from tpu_vo.configs import ORBConfig, VOConfig
 from tpu_vo.pipeline.runner import run_sequence_batched
 
-os.environ.setdefault("TPU_VO_ALLOW_FAULTING_TILINGS", "1")
 T, W, H = 64, 1241, 376
 frames = np.random.default_rng(0).integers(0, 256, (T, H, W), np.uint8)
 cfg = VOConfig(image_width=W, image_height=H, orb=ORBConfig(n_features=1200))
 run = jax.jit(lambda f: run_sequence_batched(
-    f, cfg, frame_chunk=8, pair_chunk=PC))
+    f, cfg, frame_chunk=8, pair_chunk={PAIR_CHUNK}))
 out = run(jax.device_put(frames))
 np.asarray(out[0].t)  # block
 print("CHILD_OK")
@@ -54,7 +55,7 @@ def main(argv=None):
 
     code = ("import os\n"
             "os.environ['TPU_VO_ALLOW_FAULTING_TILINGS'] = '1'\n"
-            + _CHILD_CODE.replace("PC", str(args.pc)))
+            + _CHILD_CODE.format(PAIR_CHUNK=args.pc))
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))

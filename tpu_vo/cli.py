@@ -67,8 +67,11 @@ def _gui_available():
         import cv2  # noqa: F401
     except Exception as exc:
         return False, f"cv2 unavailable ({type(exc).__name__}: {exc})"
-    if os.name == "posix" and not (os.environ.get("DISPLAY")
-                                   or os.environ.get("WAYLAND_DISPLAY")):
+    # X/Wayland probing only makes sense on Linux; macOS's Cocoa HighGUI
+    # backend needs no display variable — let other platforms fall
+    # through to the warn-once runtime fallback.
+    if sys.platform.startswith("linux") and not (
+            os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
         return False, "no DISPLAY (headless environment)"
     return True, ""
 

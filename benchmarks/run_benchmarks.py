@@ -13,6 +13,10 @@ photometric-robustness config.
   6. Photometric-nuisance robustness: corridor+pan degraded with sensor
      noise / exposure flicker / motion blur / JPEG at 4 severity levels,
      tpu_vo vs the OpenCV reference on identical degraded frames
+  7. Dynamic-scene robustness: independently moving object at three
+     match-coverage levels, occluder pillars, and a low-texture stretch;
+     tpu_vo vs the OpenCV reference on identical frames, plus measured
+     object match share and RANSAC on-object inlier fraction
 
 All configs run on the well-conditioned corridor sequence
 (utils/synthetic.make_corridor_sequence — strong parallax, exact ground
@@ -238,7 +242,7 @@ def run_config_4(frames_override=None):
     from tpu_vo.utils.metrics import trajectory_report
 
     B = 8
-    T = frames_override or 16
+    T = frames_override or 64
     W, H = 640, 480
     seqs, gts, gt_Rs = [], [], []
     for b in range(B):
@@ -252,9 +256,19 @@ def run_config_4(frames_override=None):
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev, 1), ("data", "seq"))
 
+    # Tiling (measured, tools/profile_batch8_flat.py): the flattened
+    # runner chunks per CALL, not per sequence — fc=8/pc=56 sustains
+    # 1105 fps on one chip vs 650 for round 4's vmapped fc=8/pc=15
+    # (which inflated to 64-frame/120-pair nested calls). Chunks must
+    # divide the per-device totals, so fall back down the ladder when
+    # the mesh splits the batch.
+    per_dev_frames = (B // n_dev) * T
+    per_dev_pairs = (B // n_dev) * (T - 1)
+    fc = next(c for c in (8, 4, 2, 1) if per_dev_frames % c == 0)
+    pc = next(c for c in (56, 9, 7, 3, 1) if per_dev_pairs % c == 0)
     run = jax.jit(lambda f: run_batch_of_sequences(
-        f, cfg, mesh, frame_chunk=8, pair_chunk=T - 1))
-    fps, wall_fps, out = sustained_and_wall_fps(run, frames, B * T, reps=2)
+        f, cfg, mesh, frame_chunk=fc, pair_chunk=pc))
+    fps, wall_fps, out = sustained_and_wall_fps(run, frames, B * T, reps=4)
 
     # Accuracy on sequence 0 of the batch vs the OpenCV reference.
     traj_ref, band, _, ref_R = ref_with_band(W, H, seqs[0])
@@ -413,8 +427,114 @@ def run_config_6(frames_override=None):
     return res
 
 
+def run_config_7(frames_override=None):
+    """Dynamic-scene robustness (VERDICT r4 next #2): structured
+    outliers instead of matching noise. Five scenes on identical frames
+    for tpu_vo and the OpenCV reference:
+
+      obj_light/mid/heavy: an independently moving textured object at
+        increasing match share. light/mid sit below the consensus
+        majority (RANSAC must exclude the object); heavy is sized to
+        cross it — there EVERY sample-consensus estimator (the
+        reference's cv2 RANSAC included) locks onto the object's rigid
+        motion, and the interesting number is whether tpu_vo degrades
+        like the reference does.
+      occluders: static pillars churning the match set (epipolar-
+        consistent — accuracy should hold).
+      low_texture: a blank-wall stretch crossed on end-cap features.
+
+    For the moving-object scenes the per-pair attribution is measured
+    on-device: median object keypoint share and median fraction of
+    RANSAC inliers on the object (the exclusion metric pinned by
+    tests/test_dynamic_scenes.py::test_ransac_excludes_moving_object).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_vo.configs import ORBConfig, VOConfig
+    from tpu_vo.features.orb import detect_and_compute
+    from tpu_vo.pipeline.runner import run_sequence_batched
+    from tpu_vo.pipeline.step import estimate_pair
+    from tpu_vo.utils.cv_reference import ReferenceVO
+    from tpu_vo.utils.metrics import (
+        ate_rmse,
+        extent,
+        rpe,
+        scale_matched_gt,
+    )
+    from tpu_vo.utils.synthetic import make_dynamic_corridor_sequence
+
+    T = frames_override or 48
+    W, H = 640, 480
+    SCENES = {
+        "obj_light": dict(obj_size=1.2),
+        "obj_mid": dict(obj_size=2.0),
+        "obj_heavy": dict(obj_size=3.2),
+        "occluders": dict(n_occluders=4),
+        "low_texture": dict(low_texture_span=(10.0, 22.0)),
+    }
+    cfg = VOConfig(image_width=W, image_height=H,
+                   orb=ORBConfig(n_features=1200))
+    pc = next(c for c in (9, 7, 11, 13, T - 1)
+              if (T - 1) % c == 0 or c == T - 1)
+    run = jax.jit(lambda f: run_sequence_batched(
+        f, cfg, frame_chunk=8, pair_chunk=pc))
+    detect = jax.jit(lambda f: detect_and_compute(f, cfg.orb))
+    est_fn = jax.jit(lambda a, b, k: estimate_pair(a, b, k, cfg))
+
+    res = {"config": "7_dynamic_scene_robustness", "scenes": {}}
+    for name, kwargs in SCENES.items():
+        frames_np, Rs, ts, _, masks = make_dynamic_corridor_sequence(
+            n_frames=T, width=W, height=H, **kwargs)
+        gt_R, gt_t = np.stack(Rs), scale_matched_gt(np.stack(ts))
+        gext = extent(gt_t)
+
+        ref = ReferenceVO(W, H)
+        traj_ref = ref.run(frames_np)
+        ref_R = ref.rotations()
+        poses, _ = run(jax.device_put(np.stack(frames_np)))
+        our_t, our_R = np.asarray(poses.t), np.asarray(poses.R)
+        entry = {
+            "tpu_vo_ate_vs_gt_rel": round(ate_rmse(our_t, gt_t) / gext, 4),
+            "ref_ate_vs_gt_rel": round(ate_rmse(traj_ref, gt_t) / gext, 4),
+        }
+        entry.update({("tpu_vo_" + k): v for k, v in
+                      rpe(our_t, gt_t, our_R, gt_R).items()})
+        entry.update({("ref_" + k): v for k, v in
+                      rpe(traj_ref, gt_t, ref_R, gt_R).items()})
+
+        if name.startswith("obj"):
+            shares, obj_fracs = [], []
+            feats = [detect(jnp.asarray(f)) for f in frames_np]
+            for i in range(T - 1):
+                e = est_fn(feats[i], feats[i + 1],
+                           jax.random.fold_in(jax.random.PRNGKey(0), i + 1))
+                xy1 = np.asarray(feats[i].xy)
+                xy2 = np.asarray(feats[i + 1].xy)[
+                    np.asarray(e["match_train_idx"])]
+
+                def on_obj(xy, m):
+                    x = np.clip(np.round(xy[:, 0]).astype(int), 0, W - 1)
+                    y = np.clip(np.round(xy[:, 1]).astype(int), 0, H - 1)
+                    return m[y, x]
+
+                obj = on_obj(xy1, masks[i]) | on_obj(xy2, masks[i + 1])
+                valid = np.asarray(feats[i].valid)
+                inl = np.asarray(e["match_mask"])
+                shares.append((obj & valid).sum() / max(valid.sum(), 1))
+                obj_fracs.append((inl & obj).sum() / max(inl.sum(), 1))
+            entry["obj_kp_share_median"] = round(
+                float(np.median(shares)), 3)
+            entry["obj_inlier_frac_median"] = round(
+                float(np.median(obj_fracs)), 3)
+        res["scenes"][name] = entry
+        print(json.dumps({"scene": name, **entry}), flush=True)
+    return res
+
+
 RUNNERS = {1: run_config_1, 2: run_config_2, 3: run_config_3,
-           4: run_config_4, 5: run_config_5, 6: run_config_6}
+           4: run_config_4, 5: run_config_5, 6: run_config_6,
+           7: run_config_7}
 
 # Canonical result names — error entries are keyed by these too, so a
 # failed run of config N overwrites (and is overwritten by) N's success
@@ -426,12 +546,13 @@ CANONICAL = {
     4: "4_batched_8seq_sharded",
     5: "5_window_triangulation_lm",
     6: "6_photometric_nuisance",
+    7: "7_dynamic_scene_robustness",
 }
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,2,3,4,5,6")
+    p.add_argument("--configs", default="1,2,3,4,5,6,7")
     p.add_argument("--frames", type=int, default=0)
     args = p.parse_args(argv)
 

@@ -64,32 +64,52 @@ def test_dp_matches_single_device(frames8):
 
 
 def test_dp_sequences_receive_distinct_seeds(monkeypatch):
-    """Each sequence in a DP batch must get its own RANSAC seed.
+    """Each sequence in a DP batch must get its own RANSAC key stream.
 
     Regression for the round-1 bug where _batch_runner hardcoded seed=0
     and dropped the seeds array, making every sequence in a batch draw
-    identical RANSAC hypotheses. Stubs the per-sequence runner to echo the
-    seed it received; fails on the old code (all sequences echo 0).
+    identical RANSAC hypotheses. Stubs estimate_pair (bound by the
+    flattened runner at build time) to echo the key it received; the
+    echoed keys must equal fold_in(PRNGKey(seed + b), frame_idx) — the
+    exact per-sequence scheme of run_sequence_batched.
     """
     import tpu_vo.parallel.sharding as sh
-    from tpu_vo.geometry.se3 import Pose
+    import tpu_vo.pipeline.step as step_mod
 
-    def fake_run(seq, cfg, seed=0, frame_chunk=None, pair_chunk=None):
-        T = seq.shape[0]
-        t = jnp.zeros((T, 3), jnp.float32) + jnp.asarray(seed, jnp.float32)
-        R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3))
-        return Pose(R, t), {}
+    def _key_bits(key):
+        raw = (jax.random.key_data(key)
+               if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) else key)
+        # mod in integer space BEFORE the float cast (2^16 is f32-exact)
+        return (raw % 65536).astype(jnp.float32)
+
+    def fake_estimate_pair(prev, cur, key, cfg):
+        kd = _key_bits(key)
+        z = jnp.float32(0.0)
+        return dict(
+            R=jnp.eye(3, dtype=jnp.float32),
+            # echo the RANSAC key through the translation slot
+            t=jnp.stack([kd[0], kd[1], z]),
+            have_rt=jnp.asarray(True),
+            pose_ok=jnp.asarray(True),
+            n_keypoints=jnp.int32(0), n_good=jnp.int32(0),
+            n_inliers=jnp.int32(0), n_valid_points=jnp.int32(0),
+            mean_residual=z, F=jnp.zeros((3, 3), jnp.float32),
+        )
 
     sh._batch_runner.cache_clear()
-    monkeypatch.setattr(sh, "run_sequence_batched", fake_run)
+    monkeypatch.setattr(step_mod, "estimate_pair", fake_estimate_pair)
     try:
         cfg = small_cfg()
         mesh = make_mesh((4, 2), ("data", "seq"))
-        frames = jnp.zeros((4, 2, 16, 16), jnp.uint8)
+        frames = jnp.zeros((4, 3, 16, 16), jnp.uint8)
         poses, _ = sh.run_batch_of_sequences(frames, cfg, mesh, seed=7)
-        np.testing.assert_allclose(
-            np.asarray(poses.t)[:, 0, 0], [7.0, 8.0, 9.0, 10.0]
-        )
+        # pose after pair (b, i=1): t = -scale * t_echo (R = I inverts to
+        # t_inv = -t; chain scales by trajectory_scale)
+        got = -np.asarray(poses.t)[:, 1, :2] / cfg.trajectory_scale
+        for b in range(4):
+            kd = np.asarray(_key_bits(
+                jax.random.fold_in(jax.random.PRNGKey(7 + b), 1)))
+            np.testing.assert_allclose(got[b], kd, atol=1e-2)
     finally:
         sh._batch_runner.cache_clear()
 

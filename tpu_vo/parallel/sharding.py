@@ -44,14 +44,62 @@ from tpu_vo.pipeline.step import estimate_pair
 def _batch_runner(cfg: VOConfig, mesh: Mesh,
                   frame_chunk: Optional[int], pair_chunk: Optional[int]):
     """Cached jitted runner — rebuilding the closure per call would defeat
-    jax's jit cache and recompile the full pipeline every invocation."""
+    jax's jit cache and recompile the full pipeline every invocation.
+
+    The per-device batch is FLATTENED across its local sequences before
+    the stage maps, so frame_chunk/pair_chunk set the per-call batch
+    GLOBALLY (chunk frames / chunk pairs per device program step)
+    regardless of how many sequences the device holds. Round 4 instead
+    vmapped run_sequence_batched over the local sequences, multiplying
+    the per-call batch by B_local — config 4's fc=8/pc=15 became
+    64-frame feature calls and 120-pair RANSAC calls, past the ~100-pair
+    working-set cliff, costing 40% (tools/profile_batch8.py: 650 fps vs
+    961 with deflated calls; VERDICT r4 next #1). Cross-sequence frame
+    pairs are never formed: prev/cur are sliced per sequence before
+    flattening, and each sequence keeps the exact per-sequence
+    PRNGKey(seed)+fold_in(frame_idx) scheme of run_sequence_batched, so
+    results are bit-identical to the vmapped formulation.
+    """
+    from tpu_vo.features.orb import detect_and_compute
+    from tpu_vo.pipeline.runner import _chunked_map, chain_relative_poses
+    from tpu_vo.pipeline.step import estimate_pair
 
     def local(frames_local, seeds_local):
-        return jax.vmap(
-            lambda s, sd: run_sequence_batched(
-                s, cfg, seed=sd,
-                frame_chunk=frame_chunk, pair_chunk=pair_chunk))(
-            frames_local, seeds_local)
+        Bl, T = frames_local.shape[0], frames_local.shape[1]
+        flat = frames_local.reshape((Bl * T,) + frames_local.shape[2:])
+        feats = _chunked_map(
+            lambda f: detect_and_compute(f, cfg.orb), flat, frame_chunk)
+        feats = jax.tree.map(
+            lambda a: a.reshape((Bl, T) + a.shape[1:]), feats)
+        prev = jax.tree.map(
+            lambda a: a[:, :-1].reshape((Bl * (T - 1),) + a.shape[2:]),
+            feats)
+        cur = jax.tree.map(
+            lambda a: a[:, 1:].reshape((Bl * (T - 1),) + a.shape[2:]),
+            feats)
+        bases = jax.vmap(jax.random.PRNGKey)(seeds_local)
+        idx = jnp.arange(1, T, dtype=jnp.int32)
+        keys = jax.vmap(lambda b: jax.vmap(
+            lambda i: jax.random.fold_in(b, i))(idx))(bases)
+        keys = keys.reshape((Bl * (T - 1),) + keys.shape[2:])
+        est = _chunked_map(
+            lambda args: estimate_pair(args[0], args[1], args[2], cfg),
+            (prev, cur, keys), pair_chunk)
+        est = jax.tree.map(
+            lambda a: a.reshape((Bl, T - 1) + a.shape[1:]), est)
+        poses = jax.vmap(
+            lambda R, t, h, ok: chain_relative_poses(R, t, h, ok, cfg))(
+            est["R"], est["t"], est["have_rt"], est["pose_ok"])
+        diags = {
+            "num_keypoints": est["n_keypoints"],
+            "num_matches": est["n_good"],
+            "num_inliers": est["n_inliers"],
+            "num_valid_points": est["n_valid_points"],
+            "pose_ok": est["pose_ok"],
+            "epipolar_residual": est["mean_residual"],
+            "F": est["F"],
+        }
+        return poses, diags
 
     fn = jax.shard_map(local, mesh=mesh,
                        in_specs=(P("data"), P("data")),
@@ -66,11 +114,18 @@ def run_batch_of_sequences(frames: jax.Array, cfg: VOConfig, mesh: Mesh,
     """VO over a (B, T, H, W) batch of sequences, B sharded on "data".
 
     Each device runs the full batched pipeline on its B/n_data local
-    sequences (per-sequence RANSAC seeds ride along, also sharded);
-    shard_map guarantees zero collectives — throughput scales linearly
-    with devices. Returns (poses (B, T), diagnostics dict of (B, T-1)
-    arrays).
+    sequences, flattened so frame_chunk/pair_chunk are the per-call
+    batch sizes independent of B (see _batch_runner); per-sequence
+    RANSAC seeds ride along, also sharded. shard_map guarantees zero
+    collectives — throughput scales linearly with devices. Returns
+    (poses (B, T), diagnostics dict of (B, T-1) arrays).
+
+    Chunks must divide the per-device totals: frame_chunk | B/n·T and
+    pair_chunk | B/n·(T-1).
     """
+    from tpu_vo.pipeline.runner import _validate_chunks
+
+    _validate_chunks(frame_chunk, pair_chunk)
     B = frames.shape[0]
     seeds = jnp.arange(B, dtype=jnp.uint32) + jnp.uint32(seed)
     fn = _batch_runner(cfg, mesh, frame_chunk, pair_chunk)

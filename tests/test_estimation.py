@@ -348,3 +348,52 @@ def test_ransac_jits_and_is_deterministic(rng):
                               jax.random.PRNGKey(7), thr, max_iters=32)
     np.testing.assert_array_equal(np.asarray(a.E), np.asarray(b.E))
     np.testing.assert_array_equal(np.asarray(a.inliers), np.asarray(b.inliers))
+
+
+def test_adaptive_sigma_clean_is_identical(rng):
+    """On clean data the adaptive clamp keeps 9*median below the base
+    truncation, so the adaptive and fixed-sigma rankings must pick the
+    SAME model (the adaptation only ever engages on noisy pairs)."""
+    K, R, t, x1, x2, _ = make_scene(rng, n=160, noise_px=0.15,
+                                    outlier_frac=0.1)
+    Kj = jnp.asarray(K)
+    x1n = camera.normalize_points(jnp.asarray(x1), Kj)
+    x2n = camera.normalize_points(jnp.asarray(x2), Kj)
+    mask = jnp.ones(x1.shape[0], dtype=bool)
+    thr = pixel_threshold_to_normalized(2.0, Kj)
+    key = jax.random.PRNGKey(3)
+    a = find_essential_ransac(x1n, x2n, mask, key, thr, max_iters=64,
+                              adaptive_sigma=True)
+    b = find_essential_ransac(x1n, x2n, mask, key, thr, max_iters=64,
+                              adaptive_sigma=False)
+    np.testing.assert_allclose(np.asarray(a.E), np.asarray(b.E), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(a.inliers),
+                                  np.asarray(b.inliers))
+
+
+def test_adaptive_sigma_survives_blur_scale_noise(rng):
+    """With ~1.5 px localization noise (heavy motion blur regime) the
+    adaptive sigma must keep the recovered rotation accurate; the fixed
+    sub-threshold sigma is allowed to be worse, never better by much.
+    Root cause + pan-scene measurements: tools/score_variants_diag.py
+    --nuisance blur and benchmarks/pan_harsh_ablation.json."""
+    errs_a, errs_f = [], []
+    for seed in range(3):
+        r2 = np.random.default_rng(100 + seed)
+        K, R, t, x1, x2, _ = make_scene(r2, n=220, noise_px=1.5,
+                                        outlier_frac=0.05)
+        Kj = jnp.asarray(K)
+        x1n = camera.normalize_points(jnp.asarray(x1), Kj)
+        x2n = camera.normalize_points(jnp.asarray(x2), Kj)
+        mask = jnp.ones(x1.shape[0], dtype=bool)
+        thr = pixel_threshold_to_normalized(2.0, Kj)
+        key = jax.random.PRNGKey(seed)
+        for adaptive, out in ((True, errs_a), (False, errs_f)):
+            res = find_essential_ransac(x1n, x2n, mask, key, thr,
+                                        max_iters=128,
+                                        adaptive_sigma=adaptive)
+            rec = recover_pose_from_essential(res.E, x1n, x2n, res.inliers)
+            c = (np.trace(np.asarray(rec.R).T @ R) - 1) / 2
+            out.append(float(np.degrees(np.arccos(np.clip(c, -1, 1)))))
+    assert max(errs_a) < 3.0, f"adaptive rotation errors {errs_a}"
+    assert np.mean(errs_a) <= np.mean(errs_f) + 0.5, (errs_a, errs_f)

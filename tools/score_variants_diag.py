@@ -16,6 +16,17 @@ Variants:
   ladder      sum over sigma in {thr, thr/2, thr/4} of loss(sigma)/sigma^2
   laddern     ladder, per-inlier normalized
   lex         count, ties broken by tight (thr/4) loss
+  adapt       two-phase data-adaptive sigma (round 5): rank by msac05n,
+              estimate the localization-noise scale as the median Sampson
+              residual of the winner's inliers, re-rank everything at
+              score_sq = clip(9*median, (thr/2)^2, thr^2). Motivated by
+              the pan+harsh ablation: a fixed sigma cannot win both the
+              clean rotation-rich regime (thr/2 best) and heavy blur
+              (thr best) — benchmarks/pan_harsh_ablation.json.
+
+--nuisance blur applies the harsh motion blur (5 px) to the frames
+before feature extraction, reproducing the regime where production
+sigma 0.5 loses to the reference (VERDICT r4 next #6).
 """
 
 from __future__ import annotations
@@ -29,7 +40,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor"):
+def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor",
+         nuisance="none"):
     import jax
     import jax.numpy as jnp
 
@@ -50,6 +62,11 @@ def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor"):
     gen = make_corridor_sequence if scene == "corridor" else make_pan_sequence
     frames, Rs, ts, _ = gen(n_frames=T, width=W, height=H,
                             seed=0 if scene == "corridor" else 3)
+    if nuisance == "blur":
+        from tpu_vo.utils.synthetic import apply_photometric_nuisances
+
+        frames = apply_photometric_nuisances(
+            frames, seed=17, blur_len_px=5.0, which=("blur",))
     cfg = VOConfig(image_width=W, image_height=H,
                    orb=ORBConfig(n_features=n_feat))
     K = intrinsics_from_image_size(W, H)
@@ -81,9 +98,23 @@ def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor"):
         return Es, vm, inls, cnts, broads, halfs, tights
 
     variants = ["count", "msac1", "msac1n", "msac05n", "msac025n",
-                "ladder", "laddern", "lex"]
+                "ladder", "laddern", "lex", "adapt"]
     out = {v: [] for v in variants}
     terr_out = {v: [] for v in variants}
+
+    @jax.jit
+    def med_inlier_err(E, x1n, x2n, inl):
+        err = sampson_error(E, x1n, x2n)
+        err = jnp.where(inl, err, jnp.nan)
+        return jnp.nanmedian(err)
+
+    @jax.jit
+    def losses_at(Es_, x1n, x2n, mask, s_sq):
+        def per_E(E):
+            err = sampson_error(E, x1n, x2n)
+            err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+            return jnp.sum(jnp.where(mask, jnp.minimum(err, s_sq), 0.0))
+        return jax.vmap(per_E)(Es_)
 
     for i in range(T - 1):
         fa, fb = feats[i], feats[i + 1]
@@ -120,6 +151,15 @@ def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor"):
                 "laddern": -ladder / np.maximum(cnts_f, 1),
                 "lex": cnts_f - tights_f / (tight_sq * N),
             }
+            # adapt: sigma from the msac05n winner's inlier residuals
+            r05 = np.where(vm_np, ranks["msac05n"], -np.inf)
+            w05 = int(np.argmax(r05))
+            with jax.default_matmul_precision("highest"):
+                med = float(med_inlier_err(Es[w05], x1n, x2n, inls[w05]))
+                s_sq = float(np.clip(9.0 * med, 0.25 * thr_sq, thr_sq))
+                al = np.asarray(losses_at(Es, x1n, x2n, mask,
+                                          jnp.float32(s_sq)), np.float64)
+            ranks["adapt"] = -al / np.maximum(cnts_f, 1)
             for v in variants:
                 r = np.where(vm_np, ranks[v], -np.inf)
                 b = int(np.argmax(r))
@@ -136,7 +176,8 @@ def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor"):
                 out[v].append(rot)
                 terr_out[v].append(te)
 
-    print(f"{scene} {W}x{H} T={T} n_feat={n_feat} seeds={list(seeds)}")
+    print(f"{scene} {W}x{H} T={T} n_feat={n_feat} seeds={list(seeds)} "
+          f"nuisance={nuisance}")
     for v in variants:
         r = np.array(out[v])
         te = np.array(terr_out[v])
@@ -144,11 +185,12 @@ def main(W=1241, H=376, T=16, n_feat=2000, seeds=(0, 1), scene="corridor"):
               f"{np.percentile(r, 90):6.3f} max {r.max():7.3f} | "
               f"t mean {te.mean():6.2f} max {te.max():7.2f}")
     os.makedirs("benchmarks", exist_ok=True)
-    path = f"benchmarks/score_variants_diag_{scene}_{W}x{H}.json"
+    suffix = "" if nuisance == "none" else f"_{nuisance}"
+    path = f"benchmarks/score_variants_diag_{scene}_{W}x{H}{suffix}.json"
     with open(path, "w") as f:
         json.dump({"rot": out, "terr": terr_out,
                    "config": {"W": W, "H": H, "T": T, "n_feat": n_feat,
-                              "scene": scene}},
+                              "scene": scene, "nuisance": nuisance}},
                   f, indent=1)
 
 
@@ -161,5 +203,7 @@ if __name__ == "__main__":
     p.add_argument("--features", type=int, default=2000)
     p.add_argument("--scene", default="corridor",
                    choices=["corridor", "pan"])
+    p.add_argument("--nuisance", default="none", choices=["none", "blur"])
     a = p.parse_args()
-    main(a.width, a.height, a.frames, a.features, scene=a.scene)
+    main(a.width, a.height, a.frames, a.features, scene=a.scene,
+         nuisance=a.nuisance)

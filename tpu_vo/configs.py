@@ -128,6 +128,16 @@ class RansacConfig:
     # 0.5), while 1.0 under-discriminates pan pairs (p90 rotation error
     # 8.1 deg vs 1.4 at 0.5).
     score_sigma_scale: float = 0.5
+    # Data-adaptive scoring sigma (round 5): re-rank the finalists at
+    # clip(9 * median inlier Sampson residual of the provisional winner,
+    # base, threshold^2). On clean data the clamp keeps ranking
+    # bit-identical to the fixed base sigma; under heavy motion blur —
+    # the one regime where round 4 degraded worse than the reference
+    # (pan+harsh, benchmarks/pan_harsh_ablation.json) — the sigma
+    # loosens per pair and the pan winner's rotation error drops from
+    # mean 2.27/max 13.1 deg to 0.45/1.5 deg
+    # (tools/score_variants_diag.py --nuisance blur).
+    adaptive_sigma: bool = True
     # Finalist cheirality gate: Sampson/MSAC scores are cheirality-blind
     # (a twisted-pair E has identical epipolar residuals), so RANSAC can
     # crown a hypothesis recoverPose then rejects (<10 valid points),
@@ -186,11 +196,13 @@ class VOConfig:
             keeps score ties at the stage-1 FAST cut.
           - stage1_exact_topk=True: exact sorted cut (required by
             keep-ties; ApproxTopK's boundary drop is a deviation).
-          - score_sigma_scale=1.0: MSAC truncation at the RANSAC
-            threshold itself — what OpenCV 5's USAC core behind
+          - score_sigma_scale=1.0 and adaptive_sigma=False: MSAC
+            truncation fixed at the RANSAC threshold itself — what
+            OpenCV 5's USAC core behind
             cv::findEssentialMat(RANSAC, 0.999, 2.0) scores with
-            (visual_odometry.cpp:213-216). The production default 0.5
-            is a measured accuracy win, not parity.
+            (visual_odometry.cpp:213-216). The production defaults
+            (0.5 base + per-pair adaptive loosening) are measured
+            accuracy/robustness wins, not parity.
           - cheirality_gate=False: cv::findEssentialMat is
             cheirality-blind; the finalist gate is a robustness addition.
           - min_valid_fraction=0.0 and the lexicographic recoverPose
@@ -211,6 +223,7 @@ class VOConfig:
         )
         ransac = overrides.pop("ransac", None) or RansacConfig(
             score_sigma_scale=1.0,
+            adaptive_sigma=False,
             cheirality_gate=False,
         )
         return cls(image_width=image_width, image_height=image_height,

@@ -144,6 +144,7 @@ def estimate_pair(prev: ORBFeatures, cur: ORBFeatures, key: jax.Array,
             use_five_point=rcfg.use_five_point,
             score=rcfg.score_method,
             score_sigma_scale=rcfg.score_sigma_scale,
+            adaptive_sigma=rcfg.adaptive_sigma,
             cheirality_gate=rcfg.cheirality_gate,
             cheirality_min_frac=rcfg.cheirality_min_frac,
             distance_thresh=rcfg.distance_thresh,

@@ -97,6 +97,16 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     interpolation matrix is applied block-banded (see _banded_blocks):
     dense form FLOPs grow as H*W*(H+W) — 175 GFLOP/frame at 4K, 2x
     super-linear in pixels — while the banded form stays linear.
+
+    The matmuls are pinned to full-f32 precision: the TPU default
+    (bf16-reduced operands) quantizes the resized PIXEL VALUES, and
+    under low-contrast inputs (heavy motion blur) the resulting
+    FAST/Harris keypoint shifts were the entire pan+harsh accuracy
+    deficit of round 4 — per-pair rotation error 4.79 deg (default) vs
+    1.70 (f32) on the blurred pan scene, with "high" (bf16x3) only a
+    partial fix (2.65). Cost: 0.077 -> 0.112 ms/frame at 1241x376
+    (~3% of the per-frame budget). Measured round 5; see
+    docs/DESIGN.md "Pan+harsh root cause".
     """
     in_dtype = img.dtype
     h, w = img.shape[-2], img.shape[-1]
@@ -105,23 +115,25 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     Mr = _resize_matrix(out_h, h)   # (h, out_h)
     Mc = _resize_matrix(out_w, w)   # (w, out_w)
 
-    if h > _BANDED_MIN_SRC:
-        out = jnp.concatenate(
-            [jnp.einsum("ho,...hw->...ow", jnp.asarray(blk),
-                        jax.lax.slice_in_dim(x, r0, r0 + blk.shape[0],
-                                             axis=-2))
-             for r0, blk in _banded_blocks(Mr, _BAND_TILE)], axis=-2)
-    else:
-        out = jnp.einsum("ho,...hw->...ow", jnp.asarray(Mr), x)
+    with jax.default_matmul_precision("highest"):
+        if h > _BANDED_MIN_SRC:
+            out = jnp.concatenate(
+                [jnp.einsum("ho,...hw->...ow", jnp.asarray(blk),
+                            jax.lax.slice_in_dim(x, r0, r0 + blk.shape[0],
+                                                 axis=-2))
+                 for r0, blk in _banded_blocks(Mr, _BAND_TILE)], axis=-2)
+        else:
+            out = jnp.einsum("ho,...hw->...ow", jnp.asarray(Mr), x)
 
-    if w > _BANDED_MIN_SRC:
-        out = jnp.concatenate(
-            [jnp.einsum("wo,...hw->...ho", jnp.asarray(blk),
-                        jax.lax.slice_in_dim(out, r0, r0 + blk.shape[0],
-                                             axis=-1))
-             for r0, blk in _banded_blocks(Mc, _BAND_TILE)], axis=-1)
-    else:
-        out = jnp.einsum("wo,...hw->...ho", jnp.asarray(Mc), out)
+        if w > _BANDED_MIN_SRC:
+            out = jnp.concatenate(
+                [jnp.einsum("wo,...hw->...ho", jnp.asarray(blk),
+                            jax.lax.slice_in_dim(out, r0,
+                                                 r0 + blk.shape[0],
+                                                 axis=-1))
+                 for r0, blk in _banded_blocks(Mc, _BAND_TILE)], axis=-1)
+        else:
+            out = jnp.einsum("wo,...hw->...ho", jnp.asarray(Mc), out)
 
     if jnp.issubdtype(in_dtype, jnp.integer):
         info = jnp.iinfo(in_dtype)

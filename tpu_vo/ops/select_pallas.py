@@ -103,7 +103,8 @@ def _lane_rolls(tile, shifts):
 
 
 def _select_kernel(img_ref, packed_ref, harris_ref, buf, sems, *,
-                   threshold, h, w, w_pad, border, idx_bits, rt, b, n_bands):
+                   threshold, h, w, w_pad, border, idx_bits, rt, b, n_bands,
+                   with_harris=True):
     """img_ref: the whole padded (b, h_pad + 2*HALO, w_pad) f32 image in
     HBM (memory_space=ANY); outputs for the center rt rows of band r:
     packed (rt//2, w_pad) int32, harris (rt, w_pad) f32.
@@ -209,37 +210,44 @@ def _select_kernel(img_ref, packed_ref, harris_ref, buf, sems, *,
     keep = keep & inb
 
     # ---------------- Harris response (f32) -----------------------------
-    f_rolled = _lane_rolls(raw, (-1, 0, 1))
-    # Sobel for rows [HALO-3, HALO+rt+3): box sum needs +-3
-    b_lo, b_n = HALO - 3, rt + 6
+    # ~35 of the kernel's ~130 VPU passes; computed while the band is
+    # already resident, so its marginal HBM traffic is zero. with_harris
+    # =False (A/B probes only) skips it to measure exactly that share.
+    if with_harris:
+        f_rolled = _lane_rolls(raw, (-1, 0, 1))
+        # Sobel for rows [HALO-3, HALO+rt+3): box sum needs +-3
+        b_lo, b_n = HALO - 3, rt + 6
 
-    def at(dy, dx):
-        return f_rolled[dx][b_lo + dy:b_lo + dy + b_n]
+        def at(dy, dx):
+            return f_rolled[dx][b_lo + dy:b_lo + dy + b_n]
 
-    Ix = ((at(0, 1) - at(0, -1)) * 2.0
-          + (at(-1, 1) - at(-1, -1)) + (at(1, 1) - at(1, -1)))
-    Iy = ((at(1, 0) - at(-1, 0)) * 2.0
-          + (at(1, -1) - at(-1, -1)) + (at(1, 1) - at(-1, 1)))
+        Ix = ((at(0, 1) - at(0, -1)) * 2.0
+              + (at(-1, 1) - at(-1, -1)) + (at(1, 1) - at(1, -1)))
+        Iy = ((at(1, 0) - at(-1, 0)) * 2.0
+              + (at(1, -1) - at(-1, -1)) + (at(1, 1) - at(-1, 1)))
 
-    def box7(x):
-        # accumulation order matches features/harris._box_sum exactly
-        # (f32 adds don't reassociate): +d then -d, d = 1..3, per axis
-        acc = x
-        xr = _lane_rolls(x, (-3, -2, -1, 1, 2, 3))
-        for dd in (1, 2, 3):
-            acc = acc + xr[dd] + xr[-dd]
-        out = acc[3:3 + rt]
-        for dd in (1, 2, 3):
-            out = (out
-                   + acc[3 + dd:3 + dd + rt]
-                   + acc[3 - dd:3 - dd + rt])
-        return out
+        def box7(x):
+            # accumulation order matches features/harris._box_sum exactly
+            # (f32 adds don't reassociate): +d then -d, d = 1..3, per axis
+            acc = x
+            xr = _lane_rolls(x, (-3, -2, -1, 1, 2, 3))
+            for dd in (1, 2, 3):
+                acc = acc + xr[dd] + xr[-dd]
+            out = acc[3:3 + rt]
+            for dd in (1, 2, 3):
+                out = (out
+                       + acc[3 + dd:3 + dd + rt]
+                       + acc[3 - dd:3 - dd + rt])
+            return out
 
-    a = box7(Ix * Ix)
-    b = box7(Iy * Iy)
-    c = box7(Ix * Iy)
-    scale4 = jnp.float32((1.0 / ((1 << 2) * HARRIS_BLOCK * 255.0)) ** 4)
-    harris_ref[0] = (a * b - c * c - HARRIS_K * (a + b) * (a + b)) * scale4
+        a = box7(Ix * Ix)
+        b_ = box7(Iy * Iy)
+        c = box7(Ix * Iy)
+        scale4 = jnp.float32((1.0 / ((1 << 2) * HARRIS_BLOCK * 255.0)) ** 4)
+        harris_ref[0] = (a * b_ - c * c
+                         - HARRIS_K * (a + b_) * (a + b_)) * scale4
+    else:
+        harris_ref[0] = jnp.zeros((rt, w_pad), jnp.float32)
 
     # ---------------- pack + vertical 2-row max-pool ---------------------
     flat_idx = rows * w + cols
@@ -255,7 +263,7 @@ def _select_kernel(img_ref, packed_ref, harris_ref, buf, sems, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(b, h, w, threshold, border, idx_bits):
+def _build_call(b, h, w, threshold, border, idx_bits, with_harris=True):
     w_pad = -(-w // 128) * 128
     rt = _row_tile(w_pad)
     h_even = h + (h % 2)
@@ -266,6 +274,7 @@ def _build_call(b, h, w, threshold, border, idx_bits):
     kernel = functools.partial(
         _select_kernel, threshold=threshold, h=h, w=w, w_pad=w_pad,
         border=border, idx_bits=idx_bits, rt=rt, b=b, n_bands=n_bands,
+        with_harris=with_harris,
     )
 
     call = pl.pallas_call(
@@ -308,7 +317,7 @@ def _build_call(b, h, w, threshold, border, idx_bits):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_select_fn(h, w, threshold, border, idx_bits):
+def _make_select_fn(h, w, threshold, border, idx_bits, with_harris=True):
     """custom_vmap wrapper routing jax.vmap onto the kernel's batch grid
     axis (the default Pallas vmap rule would put the batch inside the 2D
     block and break the (8, 128) tiling — and cannot batch the ANY-space
@@ -322,7 +331,8 @@ def _make_select_fn(h, w, threshold, border, idx_bits):
 
     @jax.custom_batching.custom_vmap
     def fb(imgs):                                     # (b, h, w)
-        run = _build_call(imgs.shape[0], h, w, threshold, border, idx_bits)
+        run = _build_call(imgs.shape[0], h, w, threshold, border, idx_bits,
+                          with_harris)
         return run(imgs)
 
     @fb.def_vmap
@@ -346,7 +356,8 @@ def _make_select_fn(h, w, threshold, border, idx_bits):
     return f
 
 
-def fused_select_maps(img: jax.Array, threshold: int, border: int):
+def fused_select_maps(img: jax.Array, threshold: int, border: int,
+                      with_harris: bool = True):
     """(packed, harris, idx_bits) for a (H, W) float32 level image.
 
     packed: (ceil(H/2) padded, W_pad) int32 — vertically max-pooled
@@ -364,6 +375,7 @@ def fused_select_maps(img: jax.Array, threshold: int, border: int):
     h, w = img.shape[-2], img.shape[-1]
     idx_bits = max(1, (h * w - 1).bit_length())
     assert idx_bits + 9 <= 32, "image too large for packed selection"
-    f = _make_select_fn(h, w, int(threshold), int(border), idx_bits)
+    f = _make_select_fn(h, w, int(threshold), int(border), idx_bits,
+                        bool(with_harris))
     packed, harris = f(img)
     return packed, harris, idx_bits

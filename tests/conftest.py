@@ -55,3 +55,31 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# The full suite compiles hundreds of XLA:CPU executables whose mappings
+# accumulate toward vm.max_map_count (default 65530): measured round 5,
+# /proc/self/maps grew past 26k within minutes and the suite
+# deterministically SEGFAULTED inside scan tracing at ~93% (the mmap
+# failure surfaces as a segv in native code, not a Python error; any
+# subset of the suite passes because no subset crosses the limit).
+# Clearing jax's in-process caches unmaps retired executables; the
+# persistent compile cache (jax_compilation_cache_dir above) keeps the
+# recompiles cheap. Only fires when mappings actually grow large, so
+# warm small runs pay nothing.
+_MAPS_LIMIT = 30000
+
+
+def _n_mappings() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_mappings():
+    yield
+    if _n_mappings() > _MAPS_LIMIT:
+        jax.clear_caches()
